@@ -1,0 +1,527 @@
+"""The multilevel preconditioner: device-side numerics + orchestration.
+
+TPU-native re-design of the reference's Preconditioner /
+SchurPreconditioner / SchurComplement / MatrixBlock / CoarseSolver stack
+(reference src/HYMLS_Preconditioner.cpp, HYMLS_SchurPreconditioner.cpp,
+HYMLS_SchurComplement.cpp, HYMLS_MatrixBlock.cpp,
+HYMLS_CoarseSolver.cpp):
+
+  * `compute(vals)` — one jitted function mapping the matrix value
+    array to all factorizations of all levels: batched dense interior
+    inverses (replacing thousands of per-subdomain KLU factorizations),
+    batched transformed Schur assembly via two matmuls per subdomain
+    (replacing sparse Householder SpMM), segment-sum assembly
+    (replacing FECrsMatrix::GlobalAssemble), batched non-Vsum block
+    inverses (replacing Ifpack_DenseContainer), and a dense LU on the
+    coarsest level (replacing Amesos/KLU).
+  * `apply_inverse(b)` — one jitted function: gathers + batched matvecs
+    + scatter per level, unrolled over the static level pyramid.
+
+Everything is dtype-parametric; the subdomain axis of every batched
+array is the natural sharding axis for multi-chip execution.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Params
+from ..grid import GridInfo, grid_from_params
+from ..partition.cartesian import CartesianPartitioner, PartitionParams
+from ..partition.hierarchical import build_hierarchy
+from .plan import (LevelPlan, CoarsePlan, build_level_plan,
+                   build_coarse_plan, csr_entry_ids, SMALL_ENTRY)
+
+
+# ---------------------------------------------------------------------------
+# small device helpers
+# ---------------------------------------------------------------------------
+
+def _ext(v):
+    """Append the 0.0 sentinel slot."""
+    return jnp.concatenate([v, jnp.zeros((1,), dtype=v.dtype)])
+
+
+def _bmm(A, x):
+    """Batched matrix-vector: (s,m,n) @ (s,n) -> (s,m)."""
+    return jnp.einsum("smn,sn->sm", A, x)
+
+
+def _drop_rel_diag(vals, rows, cols, diag_entry, tol=SMALL_ENTRY):
+    """RelDropDiag dropping as value-zeroing (pattern stays static):
+    keep off-diagonal iff |v| > tol*max(|d_i|,|d_j|) and |v| > tol;
+    diagonal uses the absolute criterion (reference
+    HYMLS_MatrixUtils.cpp:1011-1151)."""
+    diag = jnp.abs(vals[diag_entry])
+    scal = jnp.maximum(diag[rows], diag[cols])
+    av = jnp.abs(vals)
+    keep_off = (av > tol * scal) & (av > tol)
+    keep = jnp.where(rows == cols, av > tol, keep_off)
+    return jnp.where(keep, vals, jnp.zeros_like(vals))
+
+
+def _apply_ot(t, w_vals, w_pos, n_sep):
+    """y = (2 W^T W - I) t — the global per-group Householder transform;
+    groups without a reflector row get -I (reference
+    HYMLS_Householder.cpp:353-363 with missing rows)."""
+    t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=t.dtype)])
+    dots = jnp.sum(w_vals * t_ext[w_pos], axis=1)
+    upd = (2.0 * w_vals * dots[:, None]).reshape(-1)
+    y = jnp.zeros(n_sep + 1, dtype=t.dtype).at[w_pos.reshape(-1)].add(upd)
+    return y[:n_sep] - t
+
+
+# ---------------------------------------------------------------------------
+# device plan containers (plain dicts of jnp arrays — pytree friendly)
+# ---------------------------------------------------------------------------
+
+_LEVEL_FIELDS_I32 = ("int_pos", "sd_sep_pos", "sep_pos_in_nodes",
+                     "A11_idx", "A12_idx", "A21_idx", "A22_idx",
+                     "w_pos", "sc22_src", "sc11_src", "sc11_seg",
+                     "blk_idx", "blk_pos", "vsum_pos", "next_idx",
+                     "next_diag_entry", "next_rows", "next_cols")
+_LEVEL_FIELDS_BOOL = ("int_mask", "sd_sep_mask", "blk_mask")
+_LEVEL_FIELDS_F = ("Q", "w_vals")
+
+
+def _device_level(plan: LevelPlan, dtype) -> Dict[str, jnp.ndarray]:
+    d: Dict[str, jnp.ndarray] = {}
+    for f in _LEVEL_FIELDS_I32:
+        d[f] = jnp.asarray(getattr(plan, f), dtype=jnp.int32)
+    for f in _LEVEL_FIELDS_BOOL:
+        d[f] = jnp.asarray(getattr(plan, f))
+    for f in _LEVEL_FIELDS_F:
+        d[f] = jnp.asarray(getattr(plan, f), dtype=dtype)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# per-level numeric kernels
+# ---------------------------------------------------------------------------
+
+def _compute_level(vals, dp, sizes):
+    """Factor one level: returns (factors dict, next-level values)."""
+    n_sep, nnz_sc = sizes
+    dtype = vals.dtype
+    vals_ext = _ext(vals)
+
+    A11 = vals_ext[dp["A11_idx"]]
+    ni = A11.shape[-1]
+    A11 = A11 + jnp.eye(ni, dtype=dtype)[None] * \
+        (~dp["int_mask"])[:, :, None]
+    A11inv = jnp.linalg.inv(A11)
+
+    A12 = vals_ext[dp["A12_idx"]]
+    A21 = vals_ext[dp["A21_idx"]]
+    A22 = vals_ext[dp["A22_idx"]]
+
+    G = A11inv @ A12                  # (s, ni, ns)
+    T11 = -(A21 @ G)                  # (s, ns, ns)
+
+    Q = dp["Q"]
+    T22q = Q @ A22 @ Q                # Q symmetric: Q A Q^T == Q A Q
+    T11q = Q @ T11 @ Q
+
+    sc = T22q.reshape(-1)[dp["sc22_src"]]
+    sc = sc + jax.ops.segment_sum(T11q.reshape(-1)[dp["sc11_src"]],
+                                  dp["sc11_seg"], num_segments=nnz_sc)
+
+    sc_ext = _ext(sc)
+    B = sc_ext[dp["blk_idx"]]
+    mb = B.shape[-1]
+    B = B + jnp.eye(mb, dtype=dtype)[None] * (~dp["blk_mask"])[:, :, None]
+    blkinv = jnp.linalg.inv(B)
+
+    nxt = sc[dp["next_idx"]]
+    nxt = _drop_rel_diag(nxt, dp["next_rows"], dp["next_cols"],
+                         dp["next_diag_entry"])
+
+    factors = {"A11inv": A11inv, "G": G, "A21": A21, "blkinv": blkinv,
+               "sc": sc}
+    return factors, nxt
+
+
+def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
+    """Dense coarse factorization (reference CoarseSolver::Compute:
+    RelFullDiag drop + PutDirichlet + direct LU)."""
+    dtype = vals.dtype
+    vals = _drop_rel_diag(vals, rows, cols, diag_entry)
+    A = jnp.zeros((n, n), dtype=dtype).at[rows, cols].add(vals)
+    if fix_rows.size:
+        keep = jnp.ones(n, dtype=dtype).at[fix_rows].set(0.0)
+        A = A * keep[:, None] * keep[None, :]
+        A = A.at[fix_rows, fix_rows].set(1.0)
+    lu, piv = jax.scipy.linalg.lu_factor(A)
+    return {"lu": lu, "piv": piv}
+
+
+def _apply_level(b, fac, dp, sizes, solve_next):
+    """One level of the preconditioner application (block-diagonal
+    variant; reference Preconditioner::ApplyInverse +
+    SchurPreconditioner::ApplyInverse)."""
+    n_nodes, n_sep = sizes
+    dtype = b.dtype
+    b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=dtype)])
+
+    b1 = b_ext[dp["int_pos"]]                    # (s, ni)
+    x1 = _bmm(fac["A11inv"], b1)
+
+    y2c = _bmm(fac["A21"], x1)                   # (s, ns)
+    y2 = jnp.zeros(n_sep + 1, dtype=dtype).at[
+        dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
+
+    b2 = b[dp["sep_pos_in_nodes"]]
+    r2 = b2 - y2
+
+    # --- Schur preconditioner -------------------------------------------
+    t = _apply_ot(r2, dp["w_vals"], dp["w_pos"], n_sep)
+
+    t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=dtype)])
+    tb = t_ext[dp["blk_pos"]]
+    yb = _bmm(fac["blkinv"], tb)
+    y = jnp.zeros(n_sep + 1, dtype=dtype).at[
+        dp["blk_pos"]].add(yb * dp["blk_mask"])[:n_sep]
+
+    b_next = t[dp["vsum_pos"]]
+    x_next = solve_next(b_next)
+    y = y.at[dp["vsum_pos"]].set(x_next)
+
+    x2 = _apply_ot(y, dp["w_vals"], dp["w_pos"], n_sep)
+
+    # --- back substitution -------------------------------------------------
+    x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
+    x2sd = x2_ext[dp["sd_sep_pos"]]
+    x1 = x1 - _bmm(fac["G"], x2sd)
+
+    x = jnp.zeros(n_nodes + 1, dtype=dtype)
+    x = x.at[dp["int_pos"]].add(x1 * dp["int_mask"])
+    x = x.at[dp["sep_pos_in_nodes"]].add(x2)
+    return x[:n_nodes]
+
+
+# ---------------------------------------------------------------------------
+# L == 0: direct solve of the full (untransformed) Schur complement
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DirectSCPlan:
+    """Level plan variant when 'Number of Levels' == 0: eliminate
+    interiors, assemble the full SC densely, direct-solve it
+    (reference Preconditioner::Compute at myLevel_>=maxLevel_,
+    HYMLS_Preconditioner.cpp:485-500)."""
+
+    a22_idx: np.ndarray      # (m,) entries of K in sep x sep
+    a22_rows: np.ndarray     # (m,) sep-local
+    a22_cols: np.ndarray
+    s11_rows: np.ndarray     # flat (sd, i, j) -> target (r, c)
+    s11_cols: np.ndarray
+    s11_src: np.ndarray
+    fix_rows: np.ndarray
+
+
+def _direct_sc_factor(vals, dsc, T11, n_sep):
+    dtype = vals.dtype
+    S = jnp.zeros((n_sep, n_sep), dtype=dtype)
+    S = S.at[dsc["a22_rows"], dsc["a22_cols"]].add(vals[dsc["a22_idx"]])
+    S = S.at[dsc["s11_rows"], dsc["s11_cols"]].add(
+        T11.reshape(-1)[dsc["s11_src"]])
+    fix_rows = dsc["fix_rows"]
+    if fix_rows.size:
+        keep = jnp.ones(n_sep, dtype=dtype).at[fix_rows].set(0.0)
+        S = S * keep[:, None] * keep[None, :]
+        S = S.at[fix_rows, fix_rows].set(1.0)
+    lu, piv = jax.scipy.linalg.lu_factor(S)
+    return {"lu": lu, "piv": piv}
+
+
+# ---------------------------------------------------------------------------
+# Preconditioner
+# ---------------------------------------------------------------------------
+
+class Preconditioner:
+    """Multilevel F-matrix preconditioner with the same math as the
+    reference HYMLS::Preconditioner, rebuilt for TPU execution."""
+
+    def __init__(self, K: sp.csr_matrix, params: Params,
+                 testvector: Optional[np.ndarray] = None,
+                 dtype=jnp.float64):
+        self.params = params
+        self.dtype = dtype
+        self.grid: GridInfo = grid_from_params(params)
+
+        K = K.tocsr().copy()
+        K.sum_duplicates()
+        K.sort_indices()
+        self.K = K
+        n = K.shape[0]
+        if n != self.grid.num_nodes:
+            raise ValueError(
+                f"matrix size {n} != grid size {self.grid.num_nodes}")
+
+        prec = params.sublist("Preconditioner")
+        self.max_level = prec.get("Number of Levels", 1)
+        self.variant = prec.get("Preconditioner Variant", "Block Diagonal")
+
+        fix_gids: List[int] = []
+        pos = 1
+        while f"Fix GID {pos}" in prec:
+            fix_gids.append(prec[f"Fix GID {pos}"])
+            pos += 1
+        self.fix_gids = fix_gids
+
+        if testvector is None:
+            testvector = np.ones(n)
+        self.testvector = np.asarray(testvector, dtype=np.float64)
+
+        self._initialized = False
+        self._factors = None
+        self._vals0 = None
+        self.initialize()
+
+    # -- symbolic setup ----------------------------------------------------
+    def initialize(self):
+        """Partition every level and build the static plans (host)."""
+        g = self.grid
+        part = PartitionParams.from_params(self.params, g, level=0)
+
+        # index CSR of the level-0 matrix
+        pattern = self.K.copy()
+        pattern.data = np.arange(pattern.nnz, dtype=np.int64)
+
+        nodes = np.arange(g.num_nodes, dtype=np.int64)
+        tv = self.testvector.copy()
+
+        self.plans: List[LevelPlan] = []
+        self.hierarchies = []
+        self.coarse_plan: Optional[CoarsePlan] = None
+        self.direct_plan: Optional[DirectSCPlan] = None
+        self._dsc_level = None
+
+        if self.max_level == 0:
+            self._init_direct_sc(part, pattern, nodes)
+            return
+
+        for lev in range(self.max_level):
+            cart = CartesianPartitioner(g, part)
+            sds = [cart.get_groups(sd) for sd in range(cart.num_subdomains)]
+            hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
+            plan, tv = build_level_plan(lev, hier, pattern, nodes, tv)
+            self.plans.append(plan)
+            self.hierarchies.append(hier)
+            nodes = plan.next_nodes
+            pattern = plan.next_pattern
+            part = part.next_level()
+
+        self.coarse_plan = build_coarse_plan(pattern, nodes, self.fix_gids)
+        self._build_device_plans()
+        self._initialized = True
+
+    def _init_direct_sc(self, part, pattern, nodes):
+        """Plans for the fully-direct variant (Number of Levels == 0)."""
+        g = self.grid
+        cart = CartesianPartitioner(g, part)
+        sds = [cart.get_groups(sd) for sd in range(cart.num_subdomains)]
+        hier = build_hierarchy(sds, active=None)
+        # reuse the level-plan machinery for the elimination part
+        plan, _tv = build_level_plan(0, hier, pattern, nodes,
+                                     self.testvector.copy())
+        self.plans = [plan]
+        self.hierarchies = [hier]
+
+        sep_sorted = np.unique(hier.all_separator_nodes())
+        n_sep = sep_sorted.size
+        # A22 global entries within sep x sep
+        is_sep = np.zeros(g.num_nodes, dtype=bool)
+        is_sep[sep_sorted] = True
+        coo = self.K.tocoo()
+        m = is_sep[coo.row] & is_sep[coo.col]
+        order = np.argsort(self.K.indptr.searchsorted(0))  # noop
+        # entry index in CSR order == position in data (canonical CSR)
+        entry_ids = np.arange(self.K.nnz, dtype=np.int64)
+        csr_rows = np.repeat(np.arange(g.num_nodes),
+                             np.diff(self.K.indptr))
+        csr_cols = self.K.indices
+        msk = is_sep[csr_rows] & is_sep[csr_cols]
+        a22_idx = entry_ids[msk]
+        a22_rows = np.searchsorted(sep_sorted, csr_rows[msk])
+        a22_cols = np.searchsorted(sep_sorted, csr_cols[msk])
+
+        # S11 contributions: all (i,j) pairs of each subdomain's seps
+        ns = plan.sd_sep_pos.shape[1]
+        rows_l, cols_l, src_l = [], [], []
+        for sd in range(hier.num_subdomains):
+            locs = plan.sd_sep_pos[sd][plan.sd_sep_mask[sd]]
+            mloc = locs.size
+            if mloc == 0:
+                continue
+            rr = np.repeat(locs, mloc)
+            cc = np.tile(locs, mloc)
+            il = np.repeat(np.arange(mloc), mloc)
+            jl = np.tile(np.arange(mloc), mloc)
+            rows_l.append(rr)
+            cols_l.append(cc)
+            src_l.append((sd * ns + il) * ns + jl)
+        s11_rows = np.concatenate(rows_l) if rows_l else np.empty(0, int)
+        s11_cols = np.concatenate(cols_l) if cols_l else np.empty(0, int)
+        s11_src = np.concatenate(src_l) if src_l else np.empty(0, int)
+
+        fix_local = []
+        for gid in self.fix_gids:
+            p = np.searchsorted(sep_sorted, gid)
+            if p < n_sep and sep_sorted[p] == gid:
+                fix_local.append(p)
+
+        self.direct_plan = DirectSCPlan(
+            a22_idx=a22_idx, a22_rows=a22_rows, a22_cols=a22_cols,
+            s11_rows=s11_rows, s11_cols=s11_cols, s11_src=s11_src,
+            fix_rows=np.array(fix_local, dtype=np.int64))
+        self._build_device_plans()
+        self._initialized = True
+
+    def _build_device_plans(self):
+        self._dplans = [_device_level(p, self.dtype) for p in self.plans]
+        if self.coarse_plan is not None:
+            cp = self.coarse_plan
+            self._dcoarse = {
+                "rows": jnp.asarray(cp.rows, dtype=jnp.int32),
+                "cols": jnp.asarray(cp.cols, dtype=jnp.int32),
+                "diag_entry": jnp.asarray(cp.diag_entry, dtype=jnp.int32),
+                "fix_rows": jnp.asarray(cp.fix_rows, dtype=jnp.int32),
+            }
+        if self.direct_plan is not None:
+            dp = self.direct_plan
+            self._ddirect = {
+                "a22_idx": jnp.asarray(dp.a22_idx, dtype=jnp.int32),
+                "a22_rows": jnp.asarray(dp.a22_rows, dtype=jnp.int32),
+                "a22_cols": jnp.asarray(dp.a22_cols, dtype=jnp.int32),
+                "s11_rows": jnp.asarray(dp.s11_rows, dtype=jnp.int32),
+                "s11_cols": jnp.asarray(dp.s11_cols, dtype=jnp.int32),
+                "s11_src": jnp.asarray(dp.s11_src, dtype=jnp.int32),
+                "fix_rows": jnp.asarray(dp.fix_rows, dtype=jnp.int32),
+            }
+        self._make_jitted()
+
+    # -- jitted numeric functions -------------------------------------------
+    def _make_jitted(self):
+        plans = self.plans
+        dplans = self._dplans
+        max_level = self.max_level
+
+        if max_level == 0:
+            P = plans[0]
+            ddirect = self._ddirect
+            n_sep = P.n_sep
+
+            def compute_fn(vals, dplans_in, ddirect_in):
+                dp = dplans_in[0]
+                vals_ext = _ext(vals)
+                A11 = vals_ext[dp["A11_idx"]]
+                ni = A11.shape[-1]
+                A11 = A11 + jnp.eye(ni, dtype=vals.dtype)[None] * \
+                    (~dp["int_mask"])[:, :, None]
+                A11inv = jnp.linalg.inv(A11)
+                A12 = vals_ext[dp["A12_idx"]]
+                A21 = vals_ext[dp["A21_idx"]]
+                G = A11inv @ A12
+                T11 = -(A21 @ G)
+                coarse = _direct_sc_factor(vals, ddirect_in, T11, n_sep)
+                return {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}],
+                        "coarse": coarse}
+
+            def apply_fn(factors, b):
+                dp = dplans[0]
+                fac = factors["levels"][0]
+                dtype = b.dtype
+                b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=dtype)])
+                b1 = b_ext[dp["int_pos"]]
+                x1 = _bmm(fac["A11inv"], b1)
+                y2c = _bmm(fac["A21"], x1)
+                y2 = jnp.zeros(n_sep + 1, dtype=dtype).at[
+                    dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
+                b2 = b[dp["sep_pos_in_nodes"]]
+                r2 = b2 - y2
+                x2 = jax.scipy.linalg.lu_solve(
+                    (factors["coarse"]["lu"], factors["coarse"]["piv"]), r2)
+                x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
+                x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]])
+                x = jnp.zeros(P.n_nodes + 1, dtype=dtype)
+                x = x.at[dp["int_pos"]].add(x1 * dp["int_mask"])
+                x = x.at[dp["sep_pos_in_nodes"]].add(x2)
+                return x[:P.n_nodes]
+
+            self._compute_jit = jax.jit(
+                lambda vals: compute_fn(vals, dplans, self._ddirect))
+            self._apply_jit = jax.jit(apply_fn)
+            return
+
+        sizes = [(p.n_sep, p.nnz_sc) for p in plans]
+        napply = [(p.n_nodes, p.n_sep) for p in plans]
+        cp = self.coarse_plan
+
+        def compute_fn(vals):
+            facs = []
+            v = vals
+            for lev in range(max_level):
+                f, v = _compute_level(v, dplans[lev], sizes[lev])
+                facs.append(f)
+            coarse = _coarse_factor(v, self._dcoarse["rows"],
+                                    self._dcoarse["cols"],
+                                    self._dcoarse["diag_entry"],
+                                    self._dcoarse["fix_rows"], cp.n)
+            return {"levels": facs, "coarse": coarse}
+
+        def apply_fn(factors, b):
+            def solve_at(lev, rhs):
+                if lev == max_level:
+                    return jax.scipy.linalg.lu_solve(
+                        (factors["coarse"]["lu"],
+                         factors["coarse"]["piv"]), rhs)
+                return _apply_level(
+                    rhs, factors["levels"][lev], dplans[lev], napply[lev],
+                    lambda r: solve_at(lev + 1, r))
+            return solve_at(0, b)
+
+        self._compute_jit = jax.jit(compute_fn)
+        self._apply_jit = jax.jit(apply_fn)
+
+    # -- public API ----------------------------------------------------------
+    def compute(self, K: Optional[sp.csr_matrix] = None):
+        """Numeric factorization.  If K is given it must have the same
+        pattern as the constructor matrix (reference
+        Preconditioner::SetMatrix reuse semantics)."""
+        if K is not None:
+            K = K.tocsr()
+            K.sum_duplicates()
+            K.sort_indices()
+            if K.nnz != self.K.nnz:
+                raise ValueError("matrix pattern changed")
+            self.K = K
+        self._vals0 = jnp.asarray(self.K.data, dtype=self.dtype)
+        self._factors = self._compute_jit(self._vals0)
+        return self
+
+    def apply_inverse(self, b):
+        """x = P^{-1} b for a single vector (device array or numpy)."""
+        if self._factors is None:
+            self.compute()
+        return self._apply_jit(self._factors, jnp.asarray(b, self.dtype))
+
+    @property
+    def factors(self):
+        if self._factors is None:
+            self.compute()
+        return self._factors
+
+    def apply_inverse_fn(self):
+        """Returns (jitted_fn, factors) so solvers can close over the
+        function without retracing."""
+        if self._factors is None:
+            self.compute()
+        return self._apply_jit, self._factors

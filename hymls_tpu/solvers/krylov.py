@@ -1,0 +1,172 @@
+"""Krylov solvers in pure JAX: preconditioned GMRES and CG.
+
+TPU-native replacement of the Belos layer used by the reference
+(reference src/HYMLS_BaseSolver.cpp:74-94,309-359).  The solvers are
+built as `lax.while_loop`s over static-shape state so a whole solve is
+one XLA computation:
+
+  * GMRES: no-restart Arnoldi with classical Gram-Schmidt with
+    reorthogonalization (CGS2) — two batched (m,N)-matvec dots per
+    iteration instead of sequential MGS axpys, which is the right
+    shape for the MXU — plus Givens rotations for the implicit
+    residual.
+  * CG: standard preconditioned conjugate gradients.
+
+Convergence matches Belos semantics: implicit residual norm relative
+to a scaling ('Norm of RHS' or the initial residual norm).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class KrylovResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray       # number of iterations performed
+    relres: jnp.ndarray      # final implicit relative residual
+    converged: jnp.ndarray
+
+
+def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+          prec: Optional[Callable] = None, *, tol: float = 1e-8,
+          maxiter: int = 100, left: bool = False,
+          scale_with_rhs: bool = True) -> KrylovResult:
+    """Preconditioned GMRES (full, no restart; maxiter <= basis size).
+
+    op/prec: closures x -> A x and x -> M^{-1} x.
+    left: left preconditioning (residual measured in preconditioned
+    norm, like Belos); otherwise right preconditioning."""
+    n = b.shape[0]
+    dtype = b.dtype
+    m = maxiter
+    if prec is None:
+        prec = lambda x: x
+        left = False
+
+    def matop(v):
+        return prec(op(v)) if left else op(prec(v))
+
+    r0 = b - op(x0)
+    if left:
+        r0 = prec(r0)
+    beta = jnp.linalg.norm(r0)
+    if scale_with_rhs:
+        b_for_scale = prec(b) if left else b
+        scale = jnp.linalg.norm(b_for_scale)
+    else:
+        scale = beta
+    scale = jnp.where(scale > 0, scale, 1.0)
+
+    V = jnp.zeros((m + 1, n), dtype=dtype)
+    V = V.at[0].set(jnp.where(beta > 0, r0 / beta, r0))
+    R = jnp.zeros((m + 1, m), dtype=dtype)   # rotated Hessenberg (upper tri)
+    g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+    cs = jnp.zeros(m, dtype=dtype)
+    sn = jnp.zeros(m, dtype=dtype)
+
+    def ortho(w, V, k):
+        """CGS2 against basis vectors 0..k (masked)."""
+        mask = (jnp.arange(m + 1) <= k).astype(dtype)
+        h1 = (V @ w) * mask
+        w = w - V.T @ h1
+        h2 = (V @ w) * mask
+        w = w - V.T @ h2
+        return w, h1 + h2
+
+    def body(state):
+        V, R, g, cs, sn, k, res, done = state
+        w = matop(V[k])
+        w, h = ortho(w, V, k)
+        hk1 = jnp.linalg.norm(w)
+        V = V.at[k + 1].set(jnp.where(hk1 > 0, w / hk1, w))
+
+        # apply previous Givens rotations to the new column h[0..k], hk1
+        def rot_body(i, col):
+            ci, si = cs[i], sn[i]
+            hi = ci * col[i] + si * col[i + 1]
+            hi1 = -si * col[i] + ci * col[i + 1]
+            return col.at[i].set(hi).at[i + 1].set(hi1)
+
+        col = jnp.zeros(m + 1, dtype=dtype)
+        col = col.at[:m + 1].set(h)
+        col = col.at[k + 1].set(hk1)
+        col = lax.fori_loop(0, k, rot_body, col)
+
+        # new rotation to zero col[k+1]
+        denom = jnp.sqrt(col[k] ** 2 + col[k + 1] ** 2)
+        ck = jnp.where(denom > 0, col[k] / denom, 1.0)
+        sk = jnp.where(denom > 0, col[k + 1] / denom, 0.0)
+        col = col.at[k].set(denom).at[k + 1].set(0.0)
+        cs = cs.at[k].set(ck)
+        sn = sn.at[k].set(sk)
+        gk1 = -sk * g[k]
+        g = g.at[k + 1].set(gk1).at[k].set(ck * g[k])
+
+        R = R.at[:, k].set(col[:m + 1])
+        res = jnp.abs(gk1) / scale
+        done = res <= tol
+        return V, R, g, cs, sn, k + 1, res, done
+
+    def cond(state):
+        *_, k, res, done = state
+        return jnp.logical_and(k < m, jnp.logical_not(done))
+
+    init_res = beta / scale
+    state = (V, R, g, cs, sn, jnp.array(0, jnp.int32), init_res,
+             init_res <= tol)
+    V, R, g, cs, sn, k, res, done = lax.while_loop(cond, body, state)
+
+    # solve R[:k,:k] y = g[:k] with masking for the unused tail
+    diag_fix = (jnp.arange(m) >= k).astype(dtype)
+    Rm = R[:m, :] + jnp.diag(diag_fix)
+    gm = g[:m] * (jnp.arange(m) < k).astype(dtype)
+    y = jax.scipy.linalg.solve_triangular(Rm.T[:, :].T, gm, lower=False)
+    # correction in the Krylov basis
+    dx = V[:m].T @ y
+    x = x0 + (dx if left else prec(dx))
+    return KrylovResult(x=x, iters=k, relres=res, converged=done)
+
+
+def cg(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+       prec: Optional[Callable] = None, *, tol: float = 1e-8,
+       maxiter: int = 100, scale_with_rhs: bool = True) -> KrylovResult:
+    """Preconditioned conjugate gradients.  Works on negative-definite
+    systems too (the reference's operators are negative definite by
+    convention; CG formulas are invariant under simultaneous sign
+    flip of the operator and preconditioner)."""
+    if prec is None:
+        prec = lambda x: x
+
+    r0 = b - op(x0)
+    z0 = prec(r0)
+    scale = jnp.linalg.norm(b) if scale_with_rhs else jnp.linalg.norm(r0)
+    scale = jnp.where(scale > 0, scale, 1.0)
+    rz0 = jnp.vdot(r0, z0)
+
+    def body(state):
+        x, r, z, p, rz, k, res, done = state
+        Ap = op(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        res = jnp.linalg.norm(r) / scale
+        return x, r, z, p, rz_new, k + 1, res, res <= tol
+
+    def cond(state):
+        *_, k, res, done = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    res0 = jnp.linalg.norm(r0) / scale
+    state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32), res0,
+             res0 <= tol)
+    x, r, z, p, rz, k, res, done = lax.while_loop(cond, body, state)
+    return KrylovResult(x=x, iters=k, relres=res, converged=done)

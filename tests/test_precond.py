@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+import jax.numpy as jnp
+
+from hymls_tpu.config import Params
+from hymls_tpu.stencils import laplace2d, laplace3d, create_matrix, \
+    create_testvector
+from hymls_tpu import Preconditioner, Solver
+
+
+def _params(eqn, nx, levels, dim=2, krylov="GMRES", tol=1e-10, maxiter=100,
+            lor="Left", sep=4, initial="Random"):
+    prob = {"Equations": eqn, "Dimension": dim, "nx": nx, "ny": nx}
+    if dim > 2:
+        prob["nz"] = nx
+    return Params({
+        "Problem": prob,
+        "Solver": {"Krylov Method": krylov, "Initial Vector": initial,
+                   "Left or Right Preconditioning": lor,
+                   "Iterative Solver": {"Maximum Iterations": maxiter,
+                                        "Convergence Tolerance": tol}},
+        "Preconditioner": {"Separator Length": sep,
+                           "Number of Levels": levels},
+    })
+
+
+def _solve(params, K, tv=None):
+    P = Preconditioner(K, params, testvector=tv).compute()
+    S = Solver(K, P, params)
+    rng = np.random.default_rng(7)
+    x_ex = rng.standard_normal(K.shape[0])
+    b = K @ x_ex
+    x, res = S.apply_inverse(b)
+    x = np.asarray(x)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    return x, x_ex, relres, res
+
+
+def test_direct_variant_is_exact():
+    """Number of Levels == 0: interior elimination + direct SC solve
+    must reproduce a sparse direct solve to machine precision."""
+    params = _params("Laplace", 16, 0)
+    K = laplace2d(16, 16)
+    P = Preconditioner(K, params).compute()
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(K.shape[0])
+    x = np.asarray(P.apply_inverse(b))
+    x_ref = spla.spsolve(K.tocsc(), b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-12
+
+
+def test_laplace1_targets():
+    """Reference integration test laplace1: 2-level method, CG, <=21
+    iterations at 5e-10 relative residual, grid-independent
+    (reference testSuite/integration_tests/laplace1.xml:20-24)."""
+    for nx in (32, 64):
+        params = _params("Laplace", nx, 1, krylov="CG")
+        K = laplace2d(nx, nx)
+        x, x_ex, relres, res = _solve(params, K)
+        assert bool(res.converged)
+        assert int(res.iters) <= 21, f"nx={nx}: {int(res.iters)} iters"
+        assert relres < 5e-10
+
+
+def test_laplace_gmres_right():
+    params = _params("Laplace", 32, 1, krylov="GMRES", lor="Right")
+    K = laplace2d(32, 32)
+    x, x_ex, relres, res = _solve(params, K)
+    assert bool(res.converged)
+    assert relres < 5e-10
+    assert int(res.iters) <= 21
+
+
+def test_laplace2_multilevel():
+    """Reference laplace2: 3 grids, Number of Levels=2, <=35 CG
+    iterations at 1e-9 (testSuite/integration_tests/laplace2.xml)."""
+    for nx in (64, 128):
+        params = _params("Laplace", nx, 2, krylov="CG", tol=1e-10)
+        K = laplace2d(nx, nx)
+        x, x_ex, relres, res = _solve(params, K)
+        assert bool(res.converged), f"nx={nx}"
+        assert int(res.iters) <= 35, f"nx={nx}: {int(res.iters)} iters"
+        assert relres < 1e-9
+
+
+def test_threeD1():
+    """Reference threeD1: 3D Laplace 32^3 (16^3 here for test speed),
+    2 levels, CG, <=35 iterations at 1e-9."""
+    params = _params("Laplace", 16, 1, dim=3, krylov="CG", tol=1e-10)
+    K = laplace3d(16, 16, 16)
+    x, x_ex, relres, res = _solve(params, K)
+    assert bool(res.converged)
+    assert int(res.iters) <= 35
+    assert relres < 1e-9
+
+
+def test_newton_reuse_same_pattern():
+    """Preconditioner recompute with new values, same pattern
+    (reference Preconditioner::SetMatrix semantics)."""
+    params = _params("Laplace", 32, 1, krylov="CG")
+    K = laplace2d(32, 32)
+    P = Preconditioner(K, params).compute()
+    K2 = K * 0.5
+    P.compute(K2)
+    S = Solver(K2, P, params)
+    rng = np.random.default_rng(3)
+    x_ex = rng.standard_normal(K.shape[0])
+    b = K2 @ x_ex
+    x, res = S.apply_inverse(b)
+    relres = np.linalg.norm(K2 @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert relres < 5e-10

@@ -35,9 +35,11 @@ import jax.numpy as jnp
 from ..config import Params
 from ..grid import GridInfo, grid_from_params
 from ..partition.cartesian import CartesianPartitioner, PartitionParams
+from ..partition.skew import SkewCartesianPartitioner
 from ..partition.hierarchical import build_hierarchy
 from .plan import (LevelPlan, CoarsePlan, build_level_plan,
                    build_coarse_plan, csr_entry_ids, SMALL_ENTRY)
+from ..parallel.mesh import shard_batch
 
 
 # ---------------------------------------------------------------------------
@@ -112,15 +114,15 @@ def _compute_level(vals, dp, sizes):
     dtype = vals.dtype
     vals_ext = _ext(vals)
 
-    A11 = vals_ext[dp["A11_idx"]]
+    A11 = shard_batch(vals_ext[dp["A11_idx"]])
     ni = A11.shape[-1]
     A11 = A11 + jnp.eye(ni, dtype=dtype)[None] * \
         (~dp["int_mask"])[:, :, None]
     A11inv = jnp.linalg.inv(A11)
 
-    A12 = vals_ext[dp["A12_idx"]]
-    A21 = vals_ext[dp["A21_idx"]]
-    A22 = vals_ext[dp["A22_idx"]]
+    A12 = shard_batch(vals_ext[dp["A12_idx"]])
+    A21 = shard_batch(vals_ext[dp["A21_idx"]])
+    A22 = shard_batch(vals_ext[dp["A22_idx"]])
 
     G = A11inv @ A12                  # (s, ni, ns)
     T11 = -(A21 @ G)                  # (s, ns, ns)
@@ -268,6 +270,7 @@ class Preconditioner:
         prec = params.sublist("Preconditioner")
         self.max_level = prec.get("Number of Levels", 1)
         self.variant = prec.get("Preconditioner Variant", "Block Diagonal")
+        self.partitioner_type = prec.get("Partitioner", "Cartesian")
 
         fix_gids: List[int] = []
         pos = 1
@@ -309,7 +312,7 @@ class Preconditioner:
             return
 
         for lev in range(self.max_level):
-            cart = CartesianPartitioner(g, part)
+            cart = self._make_partitioner(part)
             sds = [cart.get_groups(sd) for sd in range(cart.num_subdomains)]
             hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
             plan, tv = build_level_plan(lev, hier, pattern, nodes, tv)
@@ -323,10 +326,15 @@ class Preconditioner:
         self._build_device_plans()
         self._initialized = True
 
+    def _make_partitioner(self, part: PartitionParams):
+        if self.partitioner_type == "Skew Cartesian":
+            return SkewCartesianPartitioner(self.grid, part)
+        return CartesianPartitioner(self.grid, part)
+
     def _init_direct_sc(self, part, pattern, nodes):
         """Plans for the fully-direct variant (Number of Levels == 0)."""
         g = self.grid
-        cart = CartesianPartitioner(g, part)
+        cart = self._make_partitioner(part)
         sds = [cart.get_groups(sd) for sd in range(cart.num_subdomains)]
         hier = build_hierarchy(sds, active=None)
         # reuse the level-plan machinery for the elimination part

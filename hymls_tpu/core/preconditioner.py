@@ -51,6 +51,27 @@ def _ext(v):
     return jnp.concatenate([v, jnp.zeros((1,), dtype=v.dtype)])
 
 
+def _on_accelerator() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _inv(A, refine: int = 2):
+    """(Batched) dense inverse.
+
+    TPU has no f64 LU (XLA LuDecomposition supports F32/C64 only), so in
+    f64 on an accelerator we factor in f32 and Newton-refine the inverse
+    in f64 — X <- X(2I - AX) — which needs only matmuls and converges
+    quadratically (1e-7 -> 1e-14 in two steps).  On CPU (and in f32)
+    this is a plain LAPACK/XLA inverse."""
+    if A.dtype == jnp.float64 and _on_accelerator():
+        X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
+        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
+        for _ in range(refine):
+            X = X @ (2.0 * eye - A @ X)
+        return X
+    return jnp.linalg.inv(A)
+
+
 def _bmm(A, x):
     """Batched matrix-vector: (s,m,n) @ (s,n) -> (s,m)."""
     return jnp.einsum("smn,sn->sm", A, x)
@@ -118,7 +139,7 @@ def _compute_level(vals, dp, sizes):
     ni = A11.shape[-1]
     A11 = A11 + jnp.eye(ni, dtype=dtype)[None] * \
         (~dp["int_mask"])[:, :, None]
-    A11inv = jnp.linalg.inv(A11)
+    A11inv = _inv(A11)
 
     A12 = shard_batch(vals_ext[dp["A12_idx"]])
     A21 = shard_batch(vals_ext[dp["A21_idx"]])
@@ -139,7 +160,7 @@ def _compute_level(vals, dp, sizes):
     B = sc_ext[dp["blk_idx"]]
     mb = B.shape[-1]
     B = B + jnp.eye(mb, dtype=dtype)[None] * (~dp["blk_mask"])[:, :, None]
-    blkinv = jnp.linalg.inv(B)
+    blkinv = _inv(B)
 
     nxt = sc[dp["next_idx"]]
     nxt = _drop_rel_diag(nxt, dp["next_rows"], dp["next_cols"],
@@ -148,6 +169,120 @@ def _compute_level(vals, dp, sizes):
     factors = {"A11inv": A11inv, "G": G, "A21": A21, "blkinv": blkinv,
                "sc": sc}
     return factors, nxt
+
+
+def _apply_ot_multi(t, w_vals, w_pos, n_sep):
+    """OT applied to the columns of (n_sep, m)."""
+    t_ext = jnp.concatenate([t, jnp.zeros((1, t.shape[1]), dtype=t.dtype)])
+    gath = t_ext[w_pos]                      # (r, gmax, m)
+    dots = jnp.sum(w_vals[:, :, None] * gath, axis=1)   # (r, m)
+    upd = (2.0 * w_vals[:, :, None] * dots[:, None, :]).reshape(
+        -1, t.shape[1])
+    y = jnp.zeros((n_sep + 1, t.shape[1]), dtype=t.dtype).at[
+        w_pos.reshape(-1)].add(upd)
+    return y[:n_sep] - t
+
+
+def _compute_level_border(fac, dp, sizes, V, W, C):
+    """Border propagation through one level (reference
+    Preconditioner::ComputeBorder + SchurPreconditioner::ComputeBorder):
+      Q1 = A11^{-1} V1;  SchurV = V2 - A21 Q1;
+      SchurW = W2 - (A11^{-1}A12)^T W1;  C' = C - W1^T Q1;
+    then the Householder transform of SchurV/SchurW, whose Vsum part is
+    the next level's border."""
+    n_sep, _ = sizes
+    dtype = V.dtype
+    m = V.shape[1]
+    Vx = jnp.concatenate([V, jnp.zeros((1, m), dtype=dtype)])
+    Wx = jnp.concatenate([W, jnp.zeros((1, m), dtype=dtype)])
+
+    V1 = Vx[dp["int_pos"]]                   # (s, ni, m)
+    W1 = Wx[dp["int_pos"]]
+    Q1 = fac["A11inv"] @ V1                  # (s, ni, m)
+
+    sV = -(fac["A21"] @ Q1)                  # (s, ns, m)
+    schurV = jnp.zeros((n_sep + 1, m), dtype=dtype).at[
+        dp["sd_sep_pos"]].add(sV * dp["sd_sep_mask"][:, :, None])[:n_sep]
+    schurV = schurV + V[dp["sep_pos_in_nodes"]]
+
+    sW = -jnp.einsum("sij,sim->sjm", fac["G"], W1)
+    schurW = jnp.zeros((n_sep + 1, m), dtype=dtype).at[
+        dp["sd_sep_pos"]].add(sW * dp["sd_sep_mask"][:, :, None])[:n_sep]
+    schurW = schurW + W[dp["sep_pos_in_nodes"]]
+
+    Cp = C - jnp.einsum("sim,sik->mk", W1, Q1)
+
+    bV = _apply_ot_multi(schurV, dp["w_vals"], dp["w_pos"], n_sep)
+    bW = _apply_ot_multi(schurW, dp["w_vals"], dp["w_pos"], n_sep)
+
+    bfac = {"Q1": Q1, "W1": W1, "bW": bW}
+    V_next = bV[dp["vsum_pos"]]
+    W_next = bW[dp["vsum_pos"]]
+    return bfac, V_next, W_next, Cp
+
+
+def _coarse_factor_aug(vals, rows, cols, diag_entry, fix_rows, n, V, W, C):
+    """Bordered coarse factorization: dense LU of [A V; W' C]
+    (reference CoarseSolver::Compute + AugmentedMatrix)."""
+    dtype = vals.dtype
+    vals = _drop_rel_diag(vals, rows, cols, diag_entry)
+    m = V.shape[1]
+    A = jnp.zeros((n, n), dtype=dtype).at[rows, cols].add(vals)
+    if fix_rows.size:
+        keep = jnp.ones(n, dtype=dtype).at[fix_rows].set(0.0)
+        A = A * keep[:, None] * keep[None, :]
+        A = A.at[fix_rows, fix_rows].set(1.0)
+    top = jnp.concatenate([A, V], axis=1)
+    bot = jnp.concatenate([W.T, C], axis=1)
+    Aug = jnp.concatenate([top, bot], axis=0)
+    return {"inv": _inv(Aug)}
+
+
+def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
+    """Bordered variant of _apply_level (reference
+    Preconditioner::ApplyInverse(B,T,X,S) +
+    SchurPreconditioner bordered ApplyInverse, lines 1517-1619).
+    Returns (x, S)."""
+    n_nodes, n_sep = sizes
+    dtype = b.dtype
+    b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=dtype)])
+
+    b1 = b_ext[dp["int_pos"]]
+    x1 = _bmm(fac["A11inv"], b1)
+
+    y2c = _bmm(fac["A21"], x1)
+    y2 = jnp.zeros(n_sep + 1, dtype=dtype).at[
+        dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
+    b2 = b[dp["sep_pos_in_nodes"]]
+    r2 = b2 - y2
+
+    # border rhs: q = T - W1' x1
+    q = T - jnp.einsum("sim,si->m", bfac["W1"], x1)
+
+    t = _apply_ot(r2, dp["w_vals"], dp["w_pos"], n_sep)
+
+    t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=dtype)])
+    tb = t_ext[dp["blk_pos"]]
+    yb = _bmm(fac["blkinv"], tb)
+    y = jnp.zeros(n_sep + 1, dtype=dtype).at[
+        dp["blk_pos"]].add(yb * dp["blk_mask"])[:n_sep]
+
+    # border correction with the non-Vsum part (Vsum entries of y are 0)
+    Tc = q - bfac["bW"].T @ y
+
+    x_next, S = solve_next(t[dp["vsum_pos"]], Tc)
+    y = y.at[dp["vsum_pos"]].set(x_next)
+    x2 = _apply_ot(y, dp["w_vals"], dp["w_pos"], n_sep)
+
+    x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
+    x2sd = x2_ext[dp["sd_sep_pos"]]
+    x1 = x1 - _bmm(fac["G"], x2sd)
+    x1 = x1 - jnp.einsum("sim,m->si", bfac["Q1"], S)
+
+    x = jnp.zeros(n_nodes + 1, dtype=dtype)
+    x = x.at[dp["int_pos"]].add(x1 * dp["int_mask"])
+    x = x.at[dp["sep_pos_in_nodes"]].add(x2)
+    return x[:n_nodes], S
 
 
 def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
@@ -160,8 +295,7 @@ def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
         keep = jnp.ones(n, dtype=dtype).at[fix_rows].set(0.0)
         A = A * keep[:, None] * keep[None, :]
         A = A.at[fix_rows, fix_rows].set(1.0)
-    lu, piv = jax.scipy.linalg.lu_factor(A)
-    return {"lu": lu, "piv": piv}
+    return {"inv": _inv(A)}
 
 
 def _apply_level(b, fac, dp, sizes, solve_next):
@@ -239,8 +373,7 @@ def _direct_sc_factor(vals, dsc, T11, n_sep):
         keep = jnp.ones(n_sep, dtype=dtype).at[fix_rows].set(0.0)
         S = S * keep[:, None] * keep[None, :]
         S = S.at[fix_rows, fix_rows].set(1.0)
-    lu, piv = jax.scipy.linalg.lu_factor(S)
-    return {"lu": lu, "piv": piv}
+    return {"inv": _inv(S)}
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +419,8 @@ class Preconditioner:
         self._initialized = False
         self._factors = None
         self._vals0 = None
+        self._border = None
+        self._apply_bordered_jit = None
         self.initialize()
 
     # -- symbolic setup ----------------------------------------------------
@@ -434,7 +569,7 @@ class Preconditioner:
                 ni = A11.shape[-1]
                 A11 = A11 + jnp.eye(ni, dtype=vals.dtype)[None] * \
                     (~dp["int_mask"])[:, :, None]
-                A11inv = jnp.linalg.inv(A11)
+                A11inv = _inv(A11)
                 A12 = vals_ext[dp["A12_idx"]]
                 A21 = vals_ext[dp["A21_idx"]]
                 G = A11inv @ A12
@@ -455,8 +590,7 @@ class Preconditioner:
                     dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
                 b2 = b[dp["sep_pos_in_nodes"]]
                 r2 = b2 - y2
-                x2 = jax.scipy.linalg.lu_solve(
-                    (factors["coarse"]["lu"], factors["coarse"]["piv"]), r2)
+                x2 = factors["coarse"]["inv"] @ r2
                 x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
                 x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]])
                 x = jnp.zeros(P.n_nodes + 1, dtype=dtype)
@@ -472,6 +606,7 @@ class Preconditioner:
         sizes = [(p.n_sep, p.nnz_sc) for p in plans]
         napply = [(p.n_nodes, p.n_sep) for p in plans]
         cp = self.coarse_plan
+        border = self._border
 
         def compute_fn(vals):
             facs = []
@@ -479,25 +614,52 @@ class Preconditioner:
             for lev in range(max_level):
                 f, v = _compute_level(v, dplans[lev], sizes[lev])
                 facs.append(f)
-            coarse = _coarse_factor(v, self._dcoarse["rows"],
-                                    self._dcoarse["cols"],
-                                    self._dcoarse["diag_entry"],
-                                    self._dcoarse["fix_rows"], cp.n)
+            if border is None:
+                coarse = _coarse_factor(v, self._dcoarse["rows"],
+                                        self._dcoarse["cols"],
+                                        self._dcoarse["diag_entry"],
+                                        self._dcoarse["fix_rows"], cp.n)
+            else:
+                V = jnp.asarray(border[0], dtype=self.dtype)
+                W = jnp.asarray(border[1], dtype=self.dtype)
+                C = jnp.asarray(border[2], dtype=self.dtype)
+                for lev in range(max_level):
+                    bfac, V, W, C = _compute_level_border(
+                        facs[lev], dplans[lev], sizes[lev], V, W, C)
+                    facs[lev]["border"] = bfac
+                coarse = _coarse_factor_aug(
+                    v, self._dcoarse["rows"], self._dcoarse["cols"],
+                    self._dcoarse["diag_entry"], self._dcoarse["fix_rows"],
+                    cp.n, V, W, C)
             return {"levels": facs, "coarse": coarse}
 
         def apply_fn(factors, b):
             def solve_at(lev, rhs):
                 if lev == max_level:
-                    return jax.scipy.linalg.lu_solve(
-                        (factors["coarse"]["lu"],
-                         factors["coarse"]["piv"]), rhs)
+                    return factors["coarse"]["inv"] @ rhs
                 return _apply_level(
                     rhs, factors["levels"][lev], dplans[lev], napply[lev],
                     lambda r: solve_at(lev + 1, r))
             return solve_at(0, b)
 
+        def apply_bordered_fn(factors, b, T):
+            m = T.shape[0]
+
+            def solve_at(lev, rhs, Tc):
+                if lev == max_level:
+                    aug = jnp.concatenate([rhs, Tc])
+                    sol = factors["coarse"]["inv"] @ aug
+                    return sol[:rhs.shape[0]], sol[rhs.shape[0]:]
+                return _apply_level_bordered(
+                    rhs, Tc, factors["levels"][lev],
+                    factors["levels"][lev]["border"], dplans[lev],
+                    napply[lev], lambda r, t: solve_at(lev + 1, r, t))
+            return solve_at(0, b, T)
+
         self._compute_jit = jax.jit(compute_fn)
         self._apply_jit = jax.jit(apply_fn)
+        self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
+            if border is not None else None
 
     # -- public API ----------------------------------------------------------
     def compute(self, K: Optional[sp.csr_matrix] = None):
@@ -515,11 +677,53 @@ class Preconditioner:
         self._factors = self._compute_jit(self._vals0)
         return self
 
+    def set_border(self, V, W=None, C=None):
+        """Add a border [K V; W' C] to the whole hierarchy (reference
+        Preconditioner::SetBorder; W=None means W:=V, C=None means 0).
+        Invalidate factors; compute() then builds the bordered chain."""
+        if V is None:
+            self._border = None
+            self._apply_bordered_jit = None
+            self._factors = None
+            self._make_jitted()
+            return self
+        V = np.asarray(V)
+        if V.ndim == 1:
+            V = V[:, None]
+        W = V if W is None else np.asarray(W)
+        if W.ndim == 1:
+            W = W[:, None]
+        m = V.shape[1]
+        C = np.zeros((m, m)) if C is None else np.asarray(C)
+        if self.max_level == 0:
+            raise NotImplementedError(
+                "bordered direct variant (Number of Levels=0) "
+                "not implemented yet")
+        self._border = (V, W, C)
+        self._factors = None
+        self._make_jitted()
+        return self
+
     def apply_inverse(self, b):
-        """x = P^{-1} b for a single vector (device array or numpy)."""
+        """x = P^{-1} b for a single vector (device array or numpy).
+        With a border set this solves with zero border rhs (reference
+        BorderedOperator ApplyInverse convention)."""
         if self._factors is None:
             self.compute()
-        return self._apply_jit(self._factors, jnp.asarray(b, self.dtype))
+        b = jnp.asarray(b, self.dtype)
+        if self._border is not None:
+            T = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
+            x, _s = self._apply_bordered_jit(self._factors, b, T)
+            return x
+        return self._apply_jit(self._factors, b)
+
+    def apply_inverse_bordered(self, b, t):
+        """[x; s] = [P V; W' C]^{-1} [b; t]."""
+        if self._factors is None:
+            self.compute()
+        return self._apply_bordered_jit(
+            self._factors, jnp.asarray(b, self.dtype),
+            jnp.asarray(t, self.dtype))
 
     @property
     def factors(self):

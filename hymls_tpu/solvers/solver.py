@@ -40,6 +40,7 @@ class Solver:
         self.tol = it.get("Convergence Tolerance", 1e-6)
         self._num_iter = 0
         self._solve_jit = None
+        self._border = None
         self._rng = np.random.default_rng(42)
 
     def set_matrix(self, K: sp.csr_matrix):
@@ -49,13 +50,64 @@ class Solver:
         K.sort_indices()
         self.op.set_values(K.data)
 
+    def set_border(self, V, W=None, C=None):
+        """Solve the bordered system [K V; W' C][x;s]=[b;0] (reference
+        BorderedSolver; used e.g. to pin a nullspace such as the
+        constant pressure mode)."""
+        self.precond.set_border(V, W, C)
+        if V is None:
+            self._border = None
+        else:
+            V = np.asarray(V)
+            if V.ndim == 1:
+                V = V[:, None]
+            W = V if W is None else np.asarray(W)
+            if W.ndim == 1:
+                W = W[:, None]
+            m = V.shape[1]
+            C = np.zeros((m, m)) if C is None else np.asarray(C)
+            self._border = (jnp.asarray(V, self.dtype),
+                            jnp.asarray(W, self.dtype),
+                            jnp.asarray(C, self.dtype))
+        self._solve_jit = None
+        return self
+
     def _build_solve(self):
-        apply_fn, _ = self.precond.apply_inverse_fn()
         matvec = self.op.matvec_with
         method = self.method
         tol = self.tol
         maxiter = self.maxiter
         left = self.lor == "Left"
+
+        if self._border is not None:
+            if self.precond._factors is None:
+                self.precond.compute()
+            bord_fn = self.precond._apply_bordered_jit
+            V, W, C = self._border
+            n = self.op.n
+            m = V.shape[1]
+
+            def solve(vals, factors, b, x0):
+                bz = jnp.concatenate([b, jnp.zeros((m,), dtype=b.dtype)])
+                x0z = jnp.concatenate([x0, jnp.zeros((m,), dtype=b.dtype)])
+
+                def op(z):
+                    x, s = z[:n], z[n:]
+                    y = matvec(vals, x) + V @ s
+                    t = W.T @ x + C @ s
+                    return jnp.concatenate([y, t])
+
+                def prec(z):
+                    x, s = bord_fn(factors, z[:n], z[n:])
+                    return jnp.concatenate([x, s])
+
+                return krylov.gmres(op, bz, x0z, prec, tol=tol,
+                                    maxiter=maxiter, left=left)
+
+            self._solve_jit = jax.jit(solve)
+            return
+
+        apply_fn, _ = self.precond.apply_inverse_fn()
 
         def solve(vals, factors, b, x0):
             def op(x):
@@ -85,7 +137,8 @@ class Solver:
         factors = self.precond.factors
         res = self._solve_jit(self.op.vals, factors, b, x0)
         self._num_iter = int(res.iters)
-        return res.x, res
+        x = res.x[:self.op.n] if self._border is not None else res.x
+        return x, res
 
     @property
     def num_iter(self) -> int:

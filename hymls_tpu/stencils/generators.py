@@ -413,9 +413,11 @@ def create_testvector(params: Params, K: sp.csr_matrix) -> np.ndarray:
 def create_nullspace(params: Params, n: int) -> np.ndarray:
     """Nullspace vectors (normalized columns); reference
     HYMLS_MainUtils.cpp:350-441."""
+    from ..grid import grid_from_params
+    grid = grid_from_params(params)
     prob = params.sublist("Problem")
-    dim = prob.get("Dimension", -1)
-    dof = prob.get("Degrees of Freedom", -1)
+    dim = grid.dim
+    dof = grid.dof
     eqn = prob.get("Equations", "Laplace")
     kind = params.sublist("Driver").get("Null Space Type", "None")
     if kind == "None":

@@ -1,0 +1,222 @@
+"""Application driver: the `hymls_main <xml>` equivalent.
+
+Replicates the reference driver loop (reference src/main.cpp:48-537 and
+testSuite/integration_tests/integration_tests.cpp): build or read the
+linear system, construct preconditioner + solver, run the configured
+number of factorizations / solves / refinements, and check the
+'Targets' sublist (max iterations, relative residual, relative error).
+
+Usage:
+    python -m hymls_tpu.driver config.xml [override.xml ...]
+"""
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .config import Params, load_xml
+from .grid import grid_from_params
+from .stencils import (create_matrix, create_testvector, create_nullspace)
+from .core.preconditioner import Preconditioner
+from .solvers.solver import Solver
+from .utils import io as hio
+from .utils.timings import Timer
+
+
+@dataclass
+class SolveReport:
+    iters: int
+    relres: float
+    relerr: float
+    converged: bool
+    setup_time: float
+    compute_time: float
+    solve_time: float
+
+
+@dataclass
+class RunReport:
+    solves: List[SolveReport] = field(default_factory=list)
+    passed: bool = True
+    failures: List[str] = field(default_factory=list)
+
+    def check(self, cond: bool, msg: str):
+        if not cond:
+            self.passed = False
+            self.failures.append(msg)
+
+
+def _proj_params(params: Params, kind: str) -> Params:
+    p = params.copy()
+    p.sublist("Driver")["Null Space Type"] = kind
+    return p
+
+
+def get_linear_system(params: Params):
+    """Build or read (K, b_maker, x_ex, nullspace); reference
+    integration_tests.cpp getLinearSystem."""
+    driver = params.sublist("Driver")
+    if driver.get("Read Linear System", False):
+        datadir = driver.get("Data Directory", None)
+        if not datadir:
+            raise ValueError("'Data Directory' not set")
+        K, b, x_ex, ns, mass = hio.read_linear_system(datadir)
+        # make sure grid info is consistent
+        grid_from_params(params)
+        if driver.get("Null Space Type", "None") != "None" and ns is None:
+            ns = create_nullspace(params, K.shape[0])
+        return K, b, x_ex, ns
+    K = create_matrix(params)
+    ns = None
+    if driver.get("Null Space Type", "None") != "None":
+        ns = create_nullspace(params, K.shape[0])
+    return K, None, None, ns
+
+
+def run_case(params: Params, dtype=None) -> RunReport:
+    """One configuration at one resolution: the testSolver loop of the
+    reference (integration_tests.cpp:486-677)."""
+    import jax.numpy as jnp
+    if dtype is None:
+        dtype = jnp.float64
+
+    report = RunReport()
+    driver = params.sublist("Driver")
+    targets = params.sublist("Targets")
+    num_computes = driver.get("Number of factorizations", 1)
+    num_solves = driver.get("Number of solves", 1)
+    t_iters = targets.get("Number of Iterations", 9999)
+    t_res = targets.get("Relative Residual 2-Norm", 1.0)
+    t_err = targets.get("Relative Error 2-Norm", 1.0)
+
+    K, b0, x_ex0, ns = get_linear_system(params)
+    tv = create_testvector(params, K)
+
+    timer = Timer("driver")
+    with timer.scope("initialize"):
+        P = Preconditioner(K, params, testvector=tv, dtype=dtype)
+        S = Solver(K, P, params, dtype=dtype)
+        if ns is not None:
+            S.set_border(ns)
+
+    rng = np.random.default_rng(42)
+    read_problem = driver.get("Read Linear System", False)
+
+    Kc = K
+    for f in range(num_computes):
+        scaling = 1.0 / (10.0 * f + 1.0)
+        Kc = K * scaling if f > 0 else K
+        with timer.scope("compute"):
+            P.compute(Kc if f > 0 else None)
+            S.set_matrix(Kc)
+
+        for s in range(num_solves):
+            if not read_problem:
+                x_ex = rng.standard_normal(K.shape[0])
+                if ns is not None:
+                    x_ex -= ns @ (ns.T @ x_ex)
+                b = Kc @ x_ex
+            else:
+                x_ex = x_ex0
+                b = b0 * scaling if b0 is not None else None
+
+            with timer.scope("solve"):
+                x, res = S.apply_inverse(b)
+                x = np.asarray(x)
+
+            # Subtract the (checkerboard) pressure mode from the error
+            # for singular Stokes systems (reference
+            # integration_tests.cpp:584-601).
+            eqn = params.sublist("Problem").get("Equations", "Laplace")
+            proj = None
+            if x_ex is not None and eqn == "Stokes-C":
+                proj = create_nullspace(_proj_params(params, "Constant P"),
+                                        K.shape[0])
+            elif x_ex is not None and eqn in ("Stokes-B", "Stokes-L",
+                                              "Stokes-T"):
+                proj = create_nullspace(_proj_params(params, "Checkerboard"),
+                                        K.shape[0])
+            if proj is not None:
+                err = x - x_ex
+                x = x - proj @ (proj.T @ err)
+
+            relres = float(np.linalg.norm(Kc @ x - b) / np.linalg.norm(b))
+            if x_ex is not None:
+                relerr = float(np.linalg.norm(x - x_ex)
+                               / np.linalg.norm(b) * scaling)
+            else:
+                relerr = 0.0
+
+            sr = SolveReport(
+                iters=int(res.iters), relres=relres, relerr=relerr,
+                converged=bool(res.converged),
+                setup_time=timer.total("initialize"),
+                compute_time=timer.total("compute"),
+                solve_time=timer.total("solve"))
+            report.solves.append(sr)
+
+            report.check(sr.iters <= t_iters,
+                         f"iters {sr.iters} > target {t_iters}")
+            report.check(relres <= t_res,
+                         f"relres {relres:.3e} > target {t_res:g}")
+            report.check(relerr <= t_err,
+                         f"relerr {relerr:.3e} > target {t_err:g}")
+    return report
+
+
+def run_with_refinements(params: Params, dtype=None,
+                         max_refines: Optional[int] = None) -> List[RunReport]:
+    """Grid-refinement loop (reference integration_tests.cpp:157-211)."""
+    driver = params.sublist("Driver")
+    prob = params.sublist("Problem")
+    num_refines = driver.get("Number of refinements", 0)
+    if max_refines is not None:
+        num_refines = min(num_refines, max_refines)
+    dim = prob.get("Dimension", 2)
+    nx = prob.get("nx", 32)
+    ny = prob.get("ny", nx)
+    nz = prob.get("nz", nx if dim > 2 else 1)
+
+    reports = []
+    for ref in range(num_refines + 1):
+        p = params.copy()
+        p.sublist("Problem")["nx"] = nx
+        p.sublist("Problem")["ny"] = ny
+        p.sublist("Problem")["nz"] = nz
+        reports.append(run_case(p, dtype=dtype))
+        nx *= 2
+        ny *= 2
+        if dim > 2:
+            nz *= 2
+    return reports
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m hymls_tpu.driver <config.xml> "
+              "[override.xml ...]")
+        return 1
+    params = load_xml(argv[0])
+    for extra in argv[1:]:
+        params.update_from(load_xml(extra))
+
+    reports = run_with_refinements(params)
+    ok = all(r.passed for r in reports)
+    for i, r in enumerate(reports):
+        for s in r.solves:
+            print(f"refinement {i}: iters={s.iters} relres={s.relres:.3e} "
+                  f"relerr={s.relerr:.3e} "
+                  f"[compute {s.compute_time:.2f}s solve {s.solve_time:.2f}s]")
+        for msg in r.failures:
+            print(f"refinement {i}: FAILED: {msg}")
+    print("ALL TESTS PASSED" if ok else "TESTS FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

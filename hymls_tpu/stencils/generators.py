@@ -349,8 +349,9 @@ def stokes3d(nx, ny, nz, a=None, b=1.0, perio=NO_PERIO) -> sp.csr_matrix:
 # ---------------------------------------------------------------------------
 
 def create_matrix(params: Params) -> sp.csr_matrix:
-    """Build the operator selected by the 'Problem' sublist
-    (reference HYMLS_MainUtils.cpp:260-348)."""
+    """Build the operator selected by the 'Problem' sublist (and the
+    optional Driver 'Galeri Label'); reference
+    HYMLS_MainUtils.cpp:260-348."""
     prob = params.sublist("Problem")
     eqn = prob.get("Equations", "Laplace")
     dim = prob.get("Dimension", 2)
@@ -364,6 +365,15 @@ def create_matrix(params: Params) -> sp.csr_matrix:
         perio |= Y_PERIO
     if prob.get("z-periodic", False):
         perio |= Z_PERIO
+
+    label = params.sublist("Driver").get("Galeri Label", "")
+    if label == "Laplace Neumann":
+        A = laplace2d_neumann(nx, ny) if dim == 2 else \
+            laplace3d_neumann(nx, ny, nz)
+        return A
+    if label == "Darcy":
+        return darcy2d(nx, ny, 1.0, -1.0, perio) if dim == 2 else \
+            darcy3d(nx, ny, nz, 1.0, -1.0, perio)
 
     if eqn == "Laplace":
         return laplace2d(nx, ny, perio) if dim == 2 else \

@@ -1,0 +1,58 @@
+"""MatrixMarket I/O (reference MatrixUtils::mmread/mmwrite/Dump,
+src/HYMLS_MatrixUtils.hpp:124-171) via scipy, plus linear-system
+directory loading in the reference driver's layout
+(HYMLS_MainUtils::read_matrix/read_vector)."""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.io as sio
+import scipy.sparse as sp
+
+
+def read_matrix(path: str) -> sp.csr_matrix:
+    A = sio.mmread(path)
+    if sp.issparse(A):
+        A = A.tocsr()
+        A.sum_duplicates()
+        A.sort_indices()
+    return A
+
+
+def write_matrix(path: str, A) -> None:
+    sio.mmwrite(path, A)
+
+
+def read_vector(path: str) -> np.ndarray:
+    v = sio.mmread(path)
+    return np.asarray(v).ravel()
+
+
+def write_vector(path: str, v) -> None:
+    sio.mmwrite(path, np.asarray(v).reshape(-1, 1))
+
+
+def read_linear_system(datadir: str):
+    """Read (K, b, x_ex, nullspace, mass) from a reference-layout data
+    directory: matrix.mtx, rhs.mtx, sol.mtx, nullSpace.mtx, mass.mtx
+    (reference HYMLS_MainUtils.cpp read_matrix/read_vector naming)."""
+    def maybe(name, reader):
+        for fn in (name, name + ".mtx", name + ".mm"):
+            p = os.path.join(datadir, fn)
+            if os.path.exists(p):
+                return reader(p)
+        return None
+
+    K = maybe("matrix", read_matrix)
+    if K is None:
+        K = maybe("jac", read_matrix)
+    if K is None:
+        raise FileNotFoundError(f"no matrix found in {datadir}")
+    b = maybe("rhs", read_vector)
+    x_ex = maybe("sol", read_vector)
+    nullspace = maybe("nullSpace", lambda p: np.asarray(
+        sio.mmread(p)))
+    mass = maybe("mass", read_matrix)
+    return K, b, x_ex, nullspace, mass

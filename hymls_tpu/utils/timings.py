@@ -1,0 +1,50 @@
+"""Hierarchical wall-clock timers (reference Tools::StartTiming /
+StopTiming / PrintTiming, src/HYMLS_Tools.cpp:345-438,549), with
+block-until-ready semantics for device work."""
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Dict
+
+
+class Timer:
+    """Label-keyed accumulating timers with call counts."""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+        self._totals: Dict[str, float] = defaultdict(float)
+        self._counts: Dict[str, int] = defaultdict(int)
+
+    @contextmanager
+    def scope(self, label: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            try:
+                import jax
+                jax.effects_barrier()
+            except Exception:
+                pass
+            dt = time.perf_counter() - t0
+            self._totals[label] += dt
+            self._counts[label] += 1
+
+    def total(self, label: str) -> float:
+        return self._totals.get(label, 0.0)
+
+    def count(self, label: str) -> int:
+        return self._counts.get(label, 0)
+
+    def report(self) -> str:
+        lines = [f"Timer report [{self.name}]"]
+        for label in sorted(self._totals, key=self._totals.get,
+                            reverse=True):
+            lines.append(f"  {label:40s} {self._totals[label]:10.4f}s "
+                         f"({self._counts[label]} calls)")
+        return "\n".join(lines)
+
+    def print_report(self):
+        print(self.report())

@@ -1,0 +1,46 @@
+"""Integration harness: run the repo configs through the driver and
+check their Targets, mirroring the reference's integration_tests.cpp
+refinement loop."""
+import os
+
+import pytest
+
+from hymls_tpu.config import load_xml
+from hymls_tpu.driver import run_with_refinements
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _run(name, max_refines=1):
+    params = load_xml(os.path.join(CFG, name))
+    reports = run_with_refinements(params, max_refines=max_refines)
+    for i, r in enumerate(reports):
+        assert r.passed, f"{name} refinement {i}: {r.failures} " \
+            f"{[(s.iters, s.relres) for s in r.solves]}"
+    return reports
+
+
+def test_laplace1():
+    _run("laplace1.xml")
+
+
+def test_laplace3():
+    _run("laplace3.xml", max_refines=0)
+
+
+def test_stokes1():
+    _run("stokes1.xml")
+
+
+def test_bordering1():
+    _run("bordering1.xml")
+
+
+@pytest.mark.slow
+def test_laplace2():
+    _run("laplace2.xml")
+
+
+@pytest.mark.slow
+def test_threeD1():
+    _run("threeD1.xml", max_refines=0)

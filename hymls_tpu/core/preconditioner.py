@@ -552,18 +552,19 @@ class Preconditioner:
         self._make_jitted()
 
     # -- jitted numeric functions -------------------------------------------
+    # NOTE: the plan index arrays are passed as jit ARGUMENTS (not
+    # captured) so they become XLA parameters rather than giant inline
+    # constants — capturing them made TPU compiles pathologically slow.
     def _make_jitted(self):
         plans = self.plans
-        dplans = self._dplans
         max_level = self.max_level
 
         if max_level == 0:
             P = plans[0]
-            ddirect = self._ddirect
             n_sep = P.n_sep
 
-            def compute_fn(vals, dplans_in, ddirect_in):
-                dp = dplans_in[0]
+            def compute_fn(vals, dplans, ddirect):
+                dp = dplans[0]
                 vals_ext = _ext(vals)
                 A11 = vals_ext[dp["A11_idx"]]
                 ni = A11.shape[-1]
@@ -574,11 +575,11 @@ class Preconditioner:
                 A21 = vals_ext[dp["A21_idx"]]
                 G = A11inv @ A12
                 T11 = -(A21 @ G)
-                coarse = _direct_sc_factor(vals, ddirect_in, T11, n_sep)
+                coarse = _direct_sc_factor(vals, ddirect, T11, n_sep)
                 return {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}],
                         "coarse": coarse}
 
-            def apply_fn(factors, b):
+            def apply_fn(factors, dplans, b):
                 dp = dplans[0]
                 fac = factors["levels"][0]
                 dtype = b.dtype
@@ -598,42 +599,46 @@ class Preconditioner:
                 x = x.at[dp["sep_pos_in_nodes"]].add(x2)
                 return x[:P.n_nodes]
 
-            self._compute_jit = jax.jit(
-                lambda vals: compute_fn(vals, dplans, self._ddirect))
-            self._apply_jit = jax.jit(apply_fn)
+            self._compute_pure = lambda vals, dplans, dcoarse: \
+                compute_fn(vals, dplans, dcoarse)
+            self._apply_pure = apply_fn
+            self._apply_bordered_pure = None
+            self._compute_jit = jax.jit(self._compute_pure)
+            self._apply_jit = jax.jit(self._apply_pure)
+            self._extra_plan = self._ddirect
             return
 
         sizes = [(p.n_sep, p.nnz_sc) for p in plans]
         napply = [(p.n_nodes, p.n_sep) for p in plans]
         cp = self.coarse_plan
         border = self._border
+        dtype = self.dtype
 
-        def compute_fn(vals):
+        def compute_fn(vals, dplans, dcoarse):
             facs = []
             v = vals
             for lev in range(max_level):
                 f, v = _compute_level(v, dplans[lev], sizes[lev])
                 facs.append(f)
             if border is None:
-                coarse = _coarse_factor(v, self._dcoarse["rows"],
-                                        self._dcoarse["cols"],
-                                        self._dcoarse["diag_entry"],
-                                        self._dcoarse["fix_rows"], cp.n)
+                coarse = _coarse_factor(v, dcoarse["rows"], dcoarse["cols"],
+                                        dcoarse["diag_entry"],
+                                        dcoarse["fix_rows"], cp.n)
             else:
-                V = jnp.asarray(border[0], dtype=self.dtype)
-                W = jnp.asarray(border[1], dtype=self.dtype)
-                C = jnp.asarray(border[2], dtype=self.dtype)
+                V = jnp.asarray(border[0], dtype=dtype)
+                W = jnp.asarray(border[1], dtype=dtype)
+                C = jnp.asarray(border[2], dtype=dtype)
                 for lev in range(max_level):
                     bfac, V, W, C = _compute_level_border(
                         facs[lev], dplans[lev], sizes[lev], V, W, C)
                     facs[lev]["border"] = bfac
                 coarse = _coarse_factor_aug(
-                    v, self._dcoarse["rows"], self._dcoarse["cols"],
-                    self._dcoarse["diag_entry"], self._dcoarse["fix_rows"],
+                    v, dcoarse["rows"], dcoarse["cols"],
+                    dcoarse["diag_entry"], dcoarse["fix_rows"],
                     cp.n, V, W, C)
             return {"levels": facs, "coarse": coarse}
 
-        def apply_fn(factors, b):
+        def apply_fn(factors, dplans, b):
             def solve_at(lev, rhs):
                 if lev == max_level:
                     return factors["coarse"]["inv"] @ rhs
@@ -642,9 +647,7 @@ class Preconditioner:
                     lambda r: solve_at(lev + 1, r))
             return solve_at(0, b)
 
-        def apply_bordered_fn(factors, b, T):
-            m = T.shape[0]
-
+        def apply_bordered_fn(factors, dplans, b, T):
             def solve_at(lev, rhs, Tc):
                 if lev == max_level:
                     aug = jnp.concatenate([rhs, Tc])
@@ -656,10 +659,15 @@ class Preconditioner:
                     napply[lev], lambda r, t: solve_at(lev + 1, r, t))
             return solve_at(0, b, T)
 
+        self._compute_pure = compute_fn
+        self._apply_pure = apply_fn
+        self._apply_bordered_pure = apply_bordered_fn \
+            if border is not None else None
         self._compute_jit = jax.jit(compute_fn)
         self._apply_jit = jax.jit(apply_fn)
         self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
             if border is not None else None
+        self._extra_plan = self._dcoarse
 
     # -- public API ----------------------------------------------------------
     def compute(self, K: Optional[sp.csr_matrix] = None):
@@ -674,7 +682,8 @@ class Preconditioner:
                 raise ValueError("matrix pattern changed")
             self.K = K
         self._vals0 = jnp.asarray(self.K.data, dtype=self.dtype)
-        self._factors = self._compute_jit(self._vals0)
+        self._factors = self._compute_jit(self._vals0, self._dplans,
+                                          self._extra_plan)
         return self
 
     def set_border(self, V, W=None, C=None):
@@ -713,16 +722,17 @@ class Preconditioner:
         b = jnp.asarray(b, self.dtype)
         if self._border is not None:
             T = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
-            x, _s = self._apply_bordered_jit(self._factors, b, T)
+            x, _s = self._apply_bordered_jit(self._factors, self._dplans,
+                                             b, T)
             return x
-        return self._apply_jit(self._factors, b)
+        return self._apply_jit(self._factors, self._dplans, b)
 
     def apply_inverse_bordered(self, b, t):
         """[x; s] = [P V; W' C]^{-1} [b; t]."""
         if self._factors is None:
             self.compute()
         return self._apply_bordered_jit(
-            self._factors, jnp.asarray(b, self.dtype),
+            self._factors, self._dplans, jnp.asarray(b, self.dtype),
             jnp.asarray(t, self.dtype))
 
     @property
@@ -732,8 +742,9 @@ class Preconditioner:
         return self._factors
 
     def apply_inverse_fn(self):
-        """Returns (jitted_fn, factors) so solvers can close over the
-        function without retracing."""
+        """Returns (pure_fn, factors, device_plans): pure_fn(factors,
+        dplans, b) -> x.  Plans are passed as arguments so callers can
+        embed the apply inside their own jit without constant bloat."""
         if self._factors is None:
             self.compute()
-        return self._apply_jit, self._factors
+        return self._apply_pure, self._factors, self._dplans

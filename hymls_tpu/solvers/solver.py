@@ -82,12 +82,12 @@ class Solver:
         if self._border is not None:
             if self.precond._factors is None:
                 self.precond.compute()
-            bord_fn = self.precond._apply_bordered_jit
+            bord_fn = self.precond._apply_bordered_pure
             V, W, C = self._border
             n = self.op.n
             m = V.shape[1]
 
-            def solve(vals, factors, b, x0):
+            def solve(vals, factors, dplans, b, x0):
                 bz = jnp.concatenate([b, jnp.zeros((m,), dtype=b.dtype)])
                 x0z = jnp.concatenate([x0, jnp.zeros((m,), dtype=b.dtype)])
 
@@ -98,7 +98,7 @@ class Solver:
                     return jnp.concatenate([y, t])
 
                 def prec(z):
-                    x, s = bord_fn(factors, z[:n], z[n:])
+                    x, s = bord_fn(factors, dplans, z[:n], z[n:])
                     return jnp.concatenate([x, s])
 
                 return krylov.gmres(op, bz, x0z, prec, tol=tol,
@@ -107,14 +107,14 @@ class Solver:
             self._solve_jit = jax.jit(solve)
             return
 
-        apply_fn, _ = self.precond.apply_inverse_fn()
+        apply_fn, _, _ = self.precond.apply_inverse_fn()
 
-        def solve(vals, factors, b, x0):
+        def solve(vals, factors, dplans, b, x0):
             def op(x):
                 return matvec(vals, x)
 
             def prec(x):
-                return apply_fn(factors, x)
+                return apply_fn(factors, dplans, x)
 
             if method == "CG":
                 return krylov.cg(op, b, x0, prec, tol=tol, maxiter=maxiter)
@@ -135,7 +135,8 @@ class Solver:
             else:
                 x0 = jnp.zeros_like(b)
         factors = self.precond.factors
-        res = self._solve_jit(self.op.vals, factors, b, x0)
+        res = self._solve_jit(self.op.vals, factors, self.precond._dplans,
+                              b, x0)
         self._num_iter = int(res.iters)
         x = res.x[:self.op.n] if self._border is not None else res.x
         return x, res

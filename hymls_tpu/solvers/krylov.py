@@ -69,12 +69,15 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     cs = jnp.zeros(m, dtype=dtype)
     sn = jnp.zeros(m, dtype=dtype)
 
+    is_complex = jnp.iscomplexobj(b)
+
     def ortho(w, V, k):
         """CGS2 against basis vectors 0..k (masked)."""
-        mask = (jnp.arange(m + 1) <= k).astype(dtype)
-        h1 = (V @ w) * mask
+        mask = (jnp.arange(m + 1) <= k).astype(w.real.dtype)
+        Vc = V.conj() if is_complex else V
+        h1 = (Vc @ w) * mask
         w = w - V.T @ h1
-        h2 = (V @ w) * mask
+        h2 = (Vc @ w) * mask
         w = w - V.T @ h2
         return w, h1 + h2
 
@@ -82,14 +85,14 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         V, R, g, cs, sn, k, res, done = state
         w = matop(V[k])
         w, h = ortho(w, V, k)
-        hk1 = jnp.linalg.norm(w)
-        V = V.at[k + 1].set(jnp.where(hk1 > 0, w / hk1, w))
+        hk1 = jnp.linalg.norm(w).astype(dtype)
+        V = V.at[k + 1].set(jnp.where(jnp.abs(hk1) > 0, w / hk1, w))
 
         # apply previous Givens rotations to the new column h[0..k], hk1
         def rot_body(i, col):
             ci, si = cs[i], sn[i]
             hi = ci * col[i] + si * col[i + 1]
-            hi1 = -si * col[i] + ci * col[i + 1]
+            hi1 = -jnp.conj(si) * col[i] + ci * col[i + 1]
             return col.at[i].set(hi).at[i + 1].set(hi1)
 
         col = jnp.zeros(m + 1, dtype=dtype)
@@ -97,14 +100,20 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         col = col.at[k + 1].set(hk1)
         col = lax.fori_loop(0, k, rot_body, col)
 
-        # new rotation to zero col[k+1]
-        denom = jnp.sqrt(col[k] ** 2 + col[k + 1] ** 2)
-        ck = jnp.where(denom > 0, col[k] / denom, 1.0)
-        sk = jnp.where(denom > 0, col[k + 1] / denom, 0.0)
-        col = col.at[k].set(denom).at[k + 1].set(0.0)
+        # new rotation to zero col[k+1] (complex-safe Givens: c real,
+        # s = sign(a) conj(b) / r)
+        a, bb = col[k], col[k + 1]
+        denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(bb) ** 2)
+        absa = jnp.abs(a)
+        ck = jnp.where(denom > 0, absa / denom, 1.0).astype(dtype)
+        sgn = jnp.where(absa > 0, a / jnp.where(absa > 0, absa, 1.0),
+                        jnp.ones((), dtype))
+        sk = jnp.where(denom > 0, sgn * jnp.conj(bb) / denom,
+                       jnp.zeros((), dtype))
+        col = col.at[k].set((denom * sgn).astype(dtype)).at[k + 1].set(0.0)
         cs = cs.at[k].set(ck)
         sn = sn.at[k].set(sk)
-        gk1 = -sk * g[k]
+        gk1 = -jnp.conj(sk) * g[k]
         g = g.at[k + 1].set(gk1).at[k].set(ck * g[k])
 
         R = R.at[:, k].set(col[:m + 1])

@@ -19,6 +19,7 @@ from ..config import Params
 from ..core.preconditioner import Preconditioner
 from ..ops.spmv import EllOperator
 from . import krylov
+from . import deflation as _defl
 
 
 class Solver:
@@ -40,7 +41,11 @@ class Solver:
         self.tol = it.get("Convergence Tolerance", 1e-6)
         self._num_iter = 0
         self._solve_jit = None
+        self._solve_proj_jit = None
         self._border = None
+        self._deflation = None
+        self._opT = None
+        self._K = K
         self._rng = np.random.default_rng(42)
 
     def set_matrix(self, K: sp.csr_matrix):
@@ -123,8 +128,67 @@ class Solver:
 
         self._solve_jit = jax.jit(solve)
 
+    def setup_deflation(self):
+        """Compute the deflation space and correction system (reference
+        DeflatedSolver::SetupDeflation; parameters 'Deflated Subspace
+        Dimension' / 'Deflation Threshold' in the 'Solver' list)."""
+        slist = self.params.sublist("Solver")
+        k = slist.get("Deflated Subspace Dimension", 0)
+        if k <= 0:
+            return self
+        if self.precond._factors is None:
+            self.precond.compute()
+        self._opT = EllOperator(self._K.T.tocsr(), dtype=self.dtype)
+        self._build_projected_solve_placeholder = None
+
+        V = _defl.compute_deflation_space(
+            lambda x: self.precond.apply_inverse(x), self.op.n, k)
+        Vj = jnp.asarray(V, self.dtype)
+        self._build_proj_solve()
+
+        factors = self.precond.factors
+        dplans = self.precond._dplans
+
+        def proj_solve(r):
+            res = self._solve_proj_jit(self.op.vals, factors, dplans, Vj,
+                                       jnp.asarray(r, self.dtype))
+            self._num_iter = int(res.iters)
+            self._last_res = res
+            return res.x
+
+        self._deflation = _defl.setup_deflation(
+            V, lambda x: self.op(jnp.asarray(x, self.dtype)),
+            lambda x: self._opT(jnp.asarray(x, self.dtype)), proj_solve)
+        self._proj_solve = proj_solve
+        return self
+
+    def _build_proj_solve(self):
+        matvec = self.op.matvec_with
+        apply_fn, _, _ = self.precond.apply_inverse_fn()
+        tol, maxiter = self.tol, self.maxiter
+        left = self.lor == "Left"
+
+        def solve(vals, factors, dplans, V, b):
+            def proj(x):
+                return x - V @ (V.T @ x)
+
+            def op(x):
+                return proj(matvec(vals, proj(x)))
+
+            def prec(x):
+                return proj(apply_fn(factors, dplans, proj(x)))
+
+            return krylov.gmres(op, b, jnp.zeros_like(b), prec, tol=tol,
+                                maxiter=maxiter, left=left)
+
+        self._solve_proj_jit = jax.jit(solve)
+
     def apply_inverse(self, b, x0: Optional[np.ndarray] = None):
         """Solve K x = b; returns (x, KrylovResult)."""
+        if self._deflation is not None:
+            x = _defl.deflated_apply(self._deflation, np.asarray(b),
+                                     self._proj_solve)
+            return jnp.asarray(x, self.dtype), self._last_res
         if self._solve_jit is None:
             self._build_solve()
         b = jnp.asarray(b, dtype=self.dtype)

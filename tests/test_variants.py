@@ -1,0 +1,84 @@
+"""Deflated and complex solver variants."""
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from hymls_tpu.config import Params
+from hymls_tpu.stencils import laplace2d, create_testvector
+from hymls_tpu.stencils.generators import _cross2d
+from hymls_tpu import Preconditioner, Solver
+from hymls_tpu.solvers.complex_solver import ComplexSolver
+
+
+def _params(nx, levels=2, maxiter=100, tol=1e-10, extra_solver=None):
+    slv = {"Krylov Method": "GMRES", "Initial Vector": "Zero",
+           "Iterative Solver": {"Maximum Iterations": maxiter,
+                                "Convergence Tolerance": tol}}
+    if extra_solver:
+        slv.update(extra_solver)
+    return Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Solver": slv,
+        "Preconditioner": {"Separator Length": 4,
+                           "Number of Levels": levels},
+    })
+
+
+def test_deflated_solver():
+    """Anisotropic Laplace with deflation of the preconditioner's worst
+    modes (reference DeflatedSolver / deflation1.xml)."""
+    nx, eps = 32, 0.01
+    K = -_cross2d(nx, nx, 2 + 2 * eps, -1.0, -1.0, -eps, -eps)
+    params = _params(nx, extra_solver={"Deflated Subspace Dimension": 8})
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv).compute()
+    S = Solver(K, P, params)
+    S.setup_deflation()
+    rng = np.random.default_rng(5)
+    x_ex = rng.standard_normal(K.shape[0])
+    b = K @ x_ex
+    x, res = S.apply_inverse(b)
+    x = np.asarray(x)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert relres < 5e-9
+    assert np.linalg.norm(x - x_ex) / np.linalg.norm(x_ex) < 1e-7
+
+
+def test_complex_solver():
+    """Complex-shifted Laplace (A + i sigma I) with the real multilevel
+    preconditioner of A (reference ComplexSolver semantics)."""
+    nx = 32
+    A = laplace2d(nx, nx)
+    B = sp.identity(A.shape[0], format="csr") * 0.5
+    params = _params(nx, levels=1, tol=1e-10)
+    tv = create_testvector(params, A)
+    P = Preconditioner(A, params, testvector=tv).compute()
+    CS = ComplexSolver(A, P, params, B=B)
+    rng = np.random.default_rng(11)
+    z_ex = rng.standard_normal(A.shape[0]) + 1j * rng.standard_normal(
+        A.shape[0])
+    b = A @ z_ex + 1j * (B @ z_ex)
+    z, res = CS.apply_inverse(b)
+    z = np.asarray(z)
+    rel = np.linalg.norm(z - z_ex) / np.linalg.norm(z_ex)
+    assert bool(res.converged)
+    assert rel < 1e-8
+
+
+def test_gmres_complex_consistency():
+    """Complex GMRES on a real system must match the real result."""
+    nx = 16
+    K = laplace2d(nx, nx)
+    params = _params(nx, levels=1)
+    P = Preconditioner(K, params).compute()
+    S = Solver(K, P, params)
+    CS = ComplexSolver(K, P, params)
+    rng = np.random.default_rng(2)
+    x_ex = rng.standard_normal(K.shape[0])
+    b = K @ x_ex
+    x_r, _ = S.apply_inverse(b)
+    x_c, _ = CS.apply_inverse(b.astype(np.complex128))
+    assert np.linalg.norm(np.asarray(x_c) - np.asarray(x_r)) \
+        / np.linalg.norm(np.asarray(x_r)) < 1e-9

@@ -614,20 +614,18 @@ class Preconditioner:
         border = self._border
         dtype = self.dtype
 
-        def compute_fn(vals, dplans, dcoarse):
+        def compute_fn(vals, dplans, dcoarse, border_vals=None):
             facs = []
             v = vals
             for lev in range(max_level):
                 f, v = _compute_level(v, dplans[lev], sizes[lev])
                 facs.append(f)
-            if border is None:
+            if border_vals is None:
                 coarse = _coarse_factor(v, dcoarse["rows"], dcoarse["cols"],
                                         dcoarse["diag_entry"],
                                         dcoarse["fix_rows"], cp.n)
             else:
-                V = jnp.asarray(border[0], dtype=dtype)
-                W = jnp.asarray(border[1], dtype=dtype)
-                C = jnp.asarray(border[2], dtype=dtype)
+                V, W, C = border_vals
                 for lev in range(max_level):
                     bfac, V, W, C = _compute_level_border(
                         facs[lev], dplans[lev], sizes[lev], V, W, C)
@@ -682,14 +680,22 @@ class Preconditioner:
                 raise ValueError("matrix pattern changed")
             self.K = K
         self._vals0 = jnp.asarray(self.K.data, dtype=self.dtype)
-        self._factors = self._compute_jit(self._vals0, self._dplans,
-                                          self._extra_plan)
+        if self._border is not None:
+            bv = tuple(jnp.asarray(a, dtype=self.dtype)
+                       for a in self._border)
+            self._factors = self._compute_jit(self._vals0, self._dplans,
+                                              self._extra_plan, bv)
+        else:
+            self._factors = self._compute_jit(self._vals0, self._dplans,
+                                              self._extra_plan)
         return self
 
     def set_border(self, V, W=None, C=None):
         """Add a border [K V; W' C] to the whole hierarchy (reference
         Preconditioner::SetBorder; W=None means W:=V, C=None means 0).
-        Invalidate factors; compute() then builds the bordered chain."""
+        Border values are jit arguments, so updating them (e.g. in a
+        continuation loop) does not retrace — only the first call and
+        border-shape changes compile."""
         if V is None:
             self._border = None
             self._apply_bordered_jit = None
@@ -708,9 +714,11 @@ class Preconditioner:
             raise NotImplementedError(
                 "bordered direct variant (Number of Levels=0) "
                 "not implemented yet")
+        had_border = self._border is not None
         self._border = (V, W, C)
         self._factors = None
-        self._make_jitted()
+        if not had_border:
+            self._make_jitted()
         return self
 
     def apply_inverse(self, b):

@@ -71,9 +71,15 @@ class Solver:
                 W = W[:, None]
             m = V.shape[1]
             C = np.zeros((m, m)) if C is None else np.asarray(C)
-            self._border = (jnp.asarray(V, self.dtype),
-                            jnp.asarray(W, self.dtype),
-                            jnp.asarray(C, self.dtype))
+            new_border = (jnp.asarray(V, self.dtype),
+                          jnp.asarray(W, self.dtype),
+                          jnp.asarray(C, self.dtype))
+            same_shape = (self._border is not None and
+                          all(a.shape == b.shape for a, b in
+                              zip(new_border, self._border)))
+            self._border = new_border
+            if same_shape:
+                return self
         self._solve_jit = None
         return self
 
@@ -88,12 +94,12 @@ class Solver:
             if self.precond._factors is None:
                 self.precond.compute()
             bord_fn = self.precond._apply_bordered_pure
-            V, W, C = self._border
             n = self.op.n
-            m = V.shape[1]
+            m = self._border[0].shape[1]
 
-            def solve(vals, factors, dplans, b, x0):
-                bz = jnp.concatenate([b, jnp.zeros((m,), dtype=b.dtype)])
+            def solve(vals, factors, dplans, border, b, tvec, x0):
+                V, W, C = border
+                bz = jnp.concatenate([b, tvec])
                 x0z = jnp.concatenate([x0, jnp.zeros((m,), dtype=b.dtype)])
 
                 def op(z):
@@ -183,8 +189,10 @@ class Solver:
 
         self._solve_proj_jit = jax.jit(solve)
 
-    def apply_inverse(self, b, x0: Optional[np.ndarray] = None):
-        """Solve K x = b; returns (x, KrylovResult)."""
+    def apply_inverse(self, b, x0: Optional[np.ndarray] = None, t=None):
+        """Solve K x = b (or the bordered system with border rhs `t`);
+        returns (x, KrylovResult).  After a bordered solve the border
+        coefficients are available as `self._border_coeffs`."""
         if self._deflation is not None:
             x = _defl.deflated_apply(self._deflation, np.asarray(b),
                                      self._proj_solve)
@@ -199,10 +207,19 @@ class Solver:
             else:
                 x0 = jnp.zeros_like(b)
         factors = self.precond.factors
-        res = self._solve_jit(self.op.vals, factors, self.precond._dplans,
-                              b, x0)
+        if self._border is not None:
+            if t is None:
+                t = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
+            res = self._solve_jit(self.op.vals, factors,
+                                  self.precond._dplans, self._border, b,
+                                  jnp.asarray(t, self.dtype), x0)
+        else:
+            res = self._solve_jit(self.op.vals, factors,
+                                  self.precond._dplans, b, x0)
         self._num_iter = int(res.iters)
         x = res.x[:self.op.n] if self._border is not None else res.x
+        self._border_coeffs = np.asarray(res.x[self.op.n:]) \
+            if self._border is not None else None
         return x, res
 
     @property

@@ -448,7 +448,7 @@ class Preconditioner:
 
         for lev in range(self.max_level):
             cart = self._make_partitioner(part)
-            sds = [cart.get_groups(sd) for sd in range(cart.num_subdomains)]
+            sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
             hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
             plan, tv = build_level_plan(lev, hier, pattern, nodes, tv)
             self.plans.append(plan)
@@ -470,7 +470,7 @@ class Preconditioner:
         """Plans for the fully-direct variant (Number of Levels == 0)."""
         g = self.grid
         cart = self._make_partitioner(part)
-        sds = [cart.get_groups(sd) for sd in range(cart.num_subdomains)]
+        sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
         hier = build_hierarchy(sds, active=None)
         # reuse the level-plan machinery for the elimination part
         plan, _tv = build_level_plan(0, hier, pattern, nodes,

@@ -180,6 +180,9 @@ class CartesianPartitioner:
     def num_subdomains(self) -> int:
         return self.npx * self.npy * self.npz
 
+    def valid_subdomain_ids(self):
+        return list(range(self.num_subdomains))
+
     def position(self, sd: int) -> Tuple[int, int, int]:
         x = (sd % self.npx) * self.p.sx
         y = ((sd // self.npx) % self.npy) * self.p.sy

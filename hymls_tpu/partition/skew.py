@@ -164,6 +164,16 @@ class SkewCartesianPartitioner:
             sd = sd - np.where(~below & (zcube == npz - 1), npz * dir3, 0)
         return sd
 
+    def valid_subdomain_ids(self):
+        """Subdomain ids excluding periodic wrap duplicates (reference
+        CreateSubdomainMap skips positions flagged by
+        GetSubdomainPosition)."""
+        out = []
+        for sd in range(self.num_subdomains):
+            if self.position(sd)[3]:
+                out.append(sd)
+        return out
+
     # -- template construction (reference getTemplate, lines 374-565) -------
     def _build_template(self):
         g, p = self.grid, self.p

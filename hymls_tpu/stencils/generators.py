@@ -139,6 +139,15 @@ def laplace3d(nx, ny, nz, perio=NO_PERIO) -> sp.csr_matrix:
     return -_cross3d(nx, ny, nz, 6.0, -1.0, perio)
 
 
+def stretched2d(nx, ny, eps) -> sp.csr_matrix:
+    """Anisotropic (stretched-grid) diffusion: 5-point stencil with
+    y-couplings scaled by eps (the role of the Galeri 'Stretched2D'
+    operator in the reference's deflation tests,
+    testSuite/integration_tests/deflation1.xml)."""
+    a = 2.0 + 2.0 * abs(eps)
+    return -_cross2d(nx, ny, a, -1.0, -1.0, -eps, -eps)
+
+
 def laplace2d_neumann(nx, ny) -> sp.csr_matrix:
     """-1 * Neumann Laplacian (reference 'Laplace Neumann' Galeri label)."""
     return -_cross2d(nx, ny, 4.0, -1.0, -1.0, -1.0, -1.0, NO_PERIO,
@@ -367,6 +376,10 @@ def create_matrix(params: Params) -> sp.csr_matrix:
         perio |= Z_PERIO
 
     label = params.sublist("Driver").get("Galeri Label", "")
+    if label == "Stretched2D":
+        eps = params.sublist("Driver").sublist("Galeri").get(
+            "epsilon", prob.get("epsilon", 0.1))
+        return stretched2d(nx, ny, eps)
     if label == "Laplace Neumann":
         A = laplace2d_neumann(nx, ny) if dim == 2 else \
             laplace3d_neumann(nx, ny, nz)

@@ -115,3 +115,39 @@ def test_skew_stokes_bordered():
     relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
     assert bool(res.converged)
     assert relres < 1e-8
+
+
+def test_periodic_stokes_skew_bordered():
+    """x/y-periodic Stokes (reference stokes4/5 family) with the
+    Constant nullspace border."""
+    from hymls_tpu.stencils import create_matrix, create_nullspace
+    nx = 16
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": nx, "ny": nx,
+                    "x-periodic": True, "y-periodic": True},
+        "Driver": {"Null Space Type": "Constant"},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Left or Right Preconditioning": "Left",
+                   "Initial Vector": "Zero",
+                   "Iterative Solver": {"Maximum Iterations": 150,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Partitioner": "Skew Cartesian",
+                           "Fix Pressure Level": False,
+                           "Separator Length": 4, "Number of Levels": 1},
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    ns = create_nullspace(params, K.shape[0])
+    P = Preconditioner(K, params, testvector=tv)
+    S = Solver(K, P, params)
+    S.set_border(ns)
+    P.compute()
+    rng = np.random.default_rng(3)
+    x_ex = rng.standard_normal(K.shape[0])
+    x_ex -= ns @ (ns.T @ x_ex)
+    b = K @ x_ex
+    x, res = S.apply_inverse(b)
+    relres = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert relres < 1e-7

@@ -71,6 +71,27 @@ def _round_up(x: int, m: int = 8) -> int:
     return max(((x + m - 1) // m) * m, m)
 
 
+def _invert_to_padded(targets: np.ndarray, srcs: np.ndarray,
+                      n_targets: int, sentinel: int) -> np.ndarray:
+    """Build the gather-form inverse of a scatter: for each target, the
+    padded list of source indices (TPU scatters are serialized; padded
+    gathers + sum are vectorized)."""
+    targets = np.asarray(targets, dtype=np.int64)
+    srcs = np.asarray(srcs, dtype=np.int64)
+    if targets.size == 0:
+        return np.full((n_targets, 1), sentinel, dtype=np.int64)
+    order = np.argsort(targets, kind="stable")
+    t_sorted = targets[order]
+    s_sorted = srcs[order]
+    counts = np.bincount(t_sorted, minlength=n_targets)
+    max_c = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(targets.size) - starts[t_sorted]
+    out = np.full((n_targets, max_c), sentinel, dtype=np.int64)
+    out[t_sorted, rank] = s_sorted
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Householder reflectors (host construction)
 # ---------------------------------------------------------------------------
@@ -142,6 +163,16 @@ class LevelPlan:
     next_diag_entry: np.ndarray  # (n_vsum,) entry id of (i,i) in next CSR
     next_rows: np.ndarray        # (nnz_next,) local row ids of next matrix
     next_cols: np.ndarray        # (nnz_next,)
+
+    # inverse (gather-form) maps: TPU scatters are serialized, so every
+    # scatter in the apply path is transposed into a padded gather
+    sep_from_sd: np.ndarray      # (n_sep, max_c) flat idx into (s,ns)+sent
+    ot_inv_idx: np.ndarray       # (n_sep,) flat idx into w_vals (+sent)
+    ot_row_of: np.ndarray        # (n_sep,) reflector row (+sent)
+    blk_inv_idx: np.ndarray      # (n_sep,) flat idx into (n_blk, mb) (+sent)
+    vsum_slot: np.ndarray        # (n_sep,) position in next vector (+sent)
+    node_src: np.ndarray         # (n_nodes,) idx into concat(x1.flat, x2)
+    sc11_gather: np.ndarray      # (nnz_sc, max_c11) flat idx into T11 (+sent)
 
     # bookkeeping for the next level
     next_nodes: np.ndarray       # sorted vsum GIDs
@@ -406,9 +437,50 @@ def build_level_plan(level: int,
             val = np.sign(v[0]) * np.linalg.norm(v)
         tv_next[sep_to_next[vsum_sep_loc[gi]]] = val
 
+    # --- gather-form inverse maps (TPU scatter avoidance) -------------------
+    # contributions of per-subdomain separator vectors to the global one
+    tgt = np.concatenate(sep_locs_sd) if sep_locs_sd else \
+        np.empty(0, dtype=np.int64)
+    src = np.concatenate([sd * ns + np.arange(len(sep_locs_sd[sd]))
+                          for sd in range(n_sd)]) if n_sd else \
+        np.empty(0, dtype=np.int64)
+    sep_from_sd = _invert_to_padded(tgt, src, n_sep, n_sd * ns)
+
+    # orthogonal transform: every separator node sits in at most one
+    # reflector row at one position
+    ot_inv_idx = np.full(n_sep, w_vals.size, dtype=np.int64)
+    ot_row_of = np.full(n_sep, w_pos.shape[0], dtype=np.int64)
+    wr, wc = np.nonzero(w_pos < n_sep)
+    ot_inv_idx[w_pos[wr, wc]] = wr * w_pos.shape[1] + wc
+    ot_row_of[w_pos[wr, wc]] = wr
+
+    # non-Vsum blocks: each separator node in at most one block slot
+    blk_inv_idx = np.full(n_sep, blk_pos.size if blk_pos.size else 1,
+                          dtype=np.int64)
+    if blk_pos.size:
+        br, bc = np.nonzero(blk_pos < n_sep)
+        blk_inv_idx[blk_pos[br, bc]] = br * blk_pos.shape[1] + bc
+
+    # vsum slots
+    vsum_slot = np.full(n_sep, vsum_pos.size, dtype=np.int64)
+    vsum_slot[vsum_pos] = np.arange(vsum_pos.size)
+
+    # final solution gather: interiors from x1.flat, separators from x2
+    node_src = np.full(nodes.size, n_sd * ni + n_sep, dtype=np.int64)
+    for sd in range(n_sd):
+        node_src[int_locs[sd]] = sd * ni + np.arange(len(int_locs[sd]))
+    node_src[sep_pos_in_nodes] = n_sd * ni + np.arange(n_sep)
+
+    # Schur contributions as padded gather
+    sc11_gather = _invert_to_padded(sc11_seg, sc11_src, nnz_sc,
+                                    n_sd * ns * ns)
+
     plan = LevelPlan(
         level=level, n_nodes=nodes.size, n_sep=n_sep, nnz=nnz,
         nnz_sc=nnz_sc,
+        sep_from_sd=sep_from_sd, ot_inv_idx=ot_inv_idx,
+        ot_row_of=ot_row_of, blk_inv_idx=blk_inv_idx,
+        vsum_slot=vsum_slot, node_src=node_src, sc11_gather=sc11_gather,
         int_pos=int_pos, int_mask=int_mask,
         sd_sep_pos=sd_sep_pos, sd_sep_mask=sd_sep_mask,
         sep_pos_in_nodes=sep_pos_in_nodes,

@@ -90,15 +90,19 @@ def _drop_rel_diag(vals, rows, cols, diag_entry, tol=SMALL_ENTRY):
     return jnp.where(keep, vals, jnp.zeros_like(vals))
 
 
-def _apply_ot(t, w_vals, w_pos, n_sep):
+def _apply_ot(t, dp):
     """y = (2 W^T W - I) t — the global per-group Householder transform;
     groups without a reflector row get -I (reference
-    HYMLS_Householder.cpp:353-363 with missing rows)."""
+    HYMLS_Householder.cpp:353-363 with missing rows).  Fully
+    gather-form: each node belongs to at most one reflector row."""
+    w_vals, w_pos = dp["w_vals"], dp["w_pos"]
     t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=t.dtype)])
     dots = jnp.sum(w_vals * t_ext[w_pos], axis=1)
-    upd = (2.0 * w_vals * dots[:, None]).reshape(-1)
-    y = jnp.zeros(n_sep + 1, dtype=t.dtype).at[w_pos.reshape(-1)].add(upd)
-    return y[:n_sep] - t
+    dots_ext = jnp.concatenate([dots, jnp.zeros((1,), dtype=t.dtype)])
+    w_flat_ext = jnp.concatenate(
+        [w_vals.reshape(-1), jnp.zeros((1,), dtype=t.dtype)])
+    return 2.0 * w_flat_ext[dp["ot_inv_idx"]] * \
+        dots_ext[dp["ot_row_of"]] - t
 
 
 # ---------------------------------------------------------------------------
@@ -107,9 +111,11 @@ def _apply_ot(t, w_vals, w_pos, n_sep):
 
 _LEVEL_FIELDS_I32 = ("int_pos", "sd_sep_pos", "sep_pos_in_nodes",
                      "A11_idx", "A12_idx", "A21_idx", "A22_idx",
-                     "w_pos", "sc22_src", "sc11_src", "sc11_seg",
+                     "w_pos", "sc22_src", "sc11_gather",
                      "blk_idx", "blk_pos", "vsum_pos", "next_idx",
-                     "next_diag_entry", "next_rows", "next_cols")
+                     "next_diag_entry", "next_rows", "next_cols",
+                     "sep_from_sd", "ot_inv_idx", "ot_row_of",
+                     "blk_inv_idx", "vsum_slot", "node_src")
 _LEVEL_FIELDS_BOOL = ("int_mask", "sd_sep_mask", "blk_mask")
 _LEVEL_FIELDS_F = ("Q", "w_vals")
 
@@ -153,8 +159,8 @@ def _compute_level(vals, dp, sizes):
     T11q = Q @ T11 @ Q
 
     sc = T22q.reshape(-1)[dp["sc22_src"]]
-    sc = sc + jax.ops.segment_sum(T11q.reshape(-1)[dp["sc11_src"]],
-                                  dp["sc11_seg"], num_segments=nnz_sc)
+    T11_flat_ext = _ext(T11q.reshape(-1))
+    sc = sc + jnp.sum(T11_flat_ext[dp["sc11_gather"]], axis=1)
 
     sc_ext = _ext(sc)
     B = sc_ext[dp["blk_idx"]]
@@ -171,16 +177,18 @@ def _compute_level(vals, dp, sizes):
     return factors, nxt
 
 
-def _apply_ot_multi(t, w_vals, w_pos, n_sep):
-    """OT applied to the columns of (n_sep, m)."""
-    t_ext = jnp.concatenate([t, jnp.zeros((1, t.shape[1]), dtype=t.dtype)])
+def _apply_ot_multi(t, dp):
+    """OT applied to the columns of (n_sep, m) — gather form."""
+    w_vals, w_pos = dp["w_vals"], dp["w_pos"]
+    m = t.shape[1]
+    t_ext = jnp.concatenate([t, jnp.zeros((1, m), dtype=t.dtype)])
     gath = t_ext[w_pos]                      # (r, gmax, m)
     dots = jnp.sum(w_vals[:, :, None] * gath, axis=1)   # (r, m)
-    upd = (2.0 * w_vals[:, :, None] * dots[:, None, :]).reshape(
-        -1, t.shape[1])
-    y = jnp.zeros((n_sep + 1, t.shape[1]), dtype=t.dtype).at[
-        w_pos.reshape(-1)].add(upd)
-    return y[:n_sep] - t
+    dots_ext = jnp.concatenate([dots, jnp.zeros((1, m), dtype=t.dtype)])
+    w_flat_ext = jnp.concatenate(
+        [w_vals.reshape(-1), jnp.zeros((1,), dtype=t.dtype)])
+    return 2.0 * w_flat_ext[dp["ot_inv_idx"]][:, None] * \
+        dots_ext[dp["ot_row_of"]] - t
 
 
 def _compute_level_border(fac, dp, sizes, V, W, C):
@@ -200,20 +208,21 @@ def _compute_level_border(fac, dp, sizes, V, W, C):
     W1 = Wx[dp["int_pos"]]
     Q1 = fac["A11inv"] @ V1                  # (s, ni, m)
 
+    def gather_sep(contrib):
+        flat = jnp.concatenate([contrib.reshape(-1, m),
+                                jnp.zeros((1, m), dtype=dtype)])
+        return jnp.sum(flat[dp["sep_from_sd"]], axis=1)
+
     sV = -(fac["A21"] @ Q1)                  # (s, ns, m)
-    schurV = jnp.zeros((n_sep + 1, m), dtype=dtype).at[
-        dp["sd_sep_pos"]].add(sV * dp["sd_sep_mask"][:, :, None])[:n_sep]
-    schurV = schurV + V[dp["sep_pos_in_nodes"]]
+    schurV = gather_sep(sV) + V[dp["sep_pos_in_nodes"]]
 
     sW = -jnp.einsum("sij,sim->sjm", fac["G"], W1)
-    schurW = jnp.zeros((n_sep + 1, m), dtype=dtype).at[
-        dp["sd_sep_pos"]].add(sW * dp["sd_sep_mask"][:, :, None])[:n_sep]
-    schurW = schurW + W[dp["sep_pos_in_nodes"]]
+    schurW = gather_sep(sW) + W[dp["sep_pos_in_nodes"]]
 
     Cp = C - jnp.einsum("sim,sik->mk", W1, Q1)
 
-    bV = _apply_ot_multi(schurV, dp["w_vals"], dp["w_pos"], n_sep)
-    bW = _apply_ot_multi(schurW, dp["w_vals"], dp["w_pos"], n_sep)
+    bV = _apply_ot_multi(schurV, dp)
+    bW = _apply_ot_multi(schurW, dp)
 
     bfac = {"Q1": Q1, "W1": W1, "bW": bW}
     V_next = bV[dp["vsum_pos"]]
@@ -251,38 +260,38 @@ def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
     x1 = _bmm(fac["A11inv"], b1)
 
     y2c = _bmm(fac["A21"], x1)
-    y2 = jnp.zeros(n_sep + 1, dtype=dtype).at[
-        dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
+    y2 = jnp.sum(_ext(y2c.reshape(-1))[dp["sep_from_sd"]], axis=1)
     b2 = b[dp["sep_pos_in_nodes"]]
     r2 = b2 - y2
 
     # border rhs: q = T - W1' x1
     q = T - jnp.einsum("sim,si->m", bfac["W1"], x1)
 
-    t = _apply_ot(r2, dp["w_vals"], dp["w_pos"], n_sep)
+    t = _apply_ot(r2, dp)
 
     t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=dtype)])
     tb = t_ext[dp["blk_pos"]]
     yb = _bmm(fac["blkinv"], tb)
-    y = jnp.zeros(n_sep + 1, dtype=dtype).at[
-        dp["blk_pos"]].add(yb * dp["blk_mask"])[:n_sep]
+    y = _ext(yb.reshape(-1))[dp["blk_inv_idx"]]
 
     # border correction with the non-Vsum part (Vsum entries of y are 0)
     Tc = q - bfac["bW"].T @ y
 
     x_next, S = solve_next(t[dp["vsum_pos"]], Tc)
-    y = y.at[dp["vsum_pos"]].set(x_next)
-    x2 = _apply_ot(y, dp["w_vals"], dp["w_pos"], n_sep)
+    x_next_ext = jnp.concatenate([x_next, jnp.zeros((1,), dtype=dtype)])
+    n_vsum = dp["vsum_pos"].shape[0]
+    y = jnp.where(dp["vsum_slot"] < n_vsum,
+                  x_next_ext[dp["vsum_slot"]], y)
+    x2 = _apply_ot(y, dp)
 
     x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
     x2sd = x2_ext[dp["sd_sep_pos"]]
     x1 = x1 - _bmm(fac["G"], x2sd)
     x1 = x1 - jnp.einsum("sim,m->si", bfac["Q1"], S)
 
-    x = jnp.zeros(n_nodes + 1, dtype=dtype)
-    x = x.at[dp["int_pos"]].add(x1 * dp["int_mask"])
-    x = x.at[dp["sep_pos_in_nodes"]].add(x2)
-    return x[:n_nodes], S
+    src = jnp.concatenate([x1.reshape(-1), x2,
+                           jnp.zeros((1,), dtype=dtype)])
+    return src[dp["node_src"]], S
 
 
 def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
@@ -301,7 +310,8 @@ def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
 def _apply_level(b, fac, dp, sizes, solve_next):
     """One level of the preconditioner application (block-diagonal
     variant; reference Preconditioner::ApplyInverse +
-    SchurPreconditioner::ApplyInverse)."""
+    SchurPreconditioner::ApplyInverse).  All data movement is
+    gather-form (TPU scatters are serialized)."""
     n_nodes, n_sep = sizes
     dtype = b.dtype
     b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=dtype)])
@@ -310,36 +320,36 @@ def _apply_level(b, fac, dp, sizes, solve_next):
     x1 = _bmm(fac["A11inv"], b1)
 
     y2c = _bmm(fac["A21"], x1)                   # (s, ns)
-    y2 = jnp.zeros(n_sep + 1, dtype=dtype).at[
-        dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
+    y2 = jnp.sum(_ext(y2c.reshape(-1))[dp["sep_from_sd"]], axis=1)
 
     b2 = b[dp["sep_pos_in_nodes"]]
     r2 = b2 - y2
 
     # --- Schur preconditioner -------------------------------------------
-    t = _apply_ot(r2, dp["w_vals"], dp["w_pos"], n_sep)
+    t = _apply_ot(r2, dp)
 
     t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=dtype)])
     tb = t_ext[dp["blk_pos"]]
     yb = _bmm(fac["blkinv"], tb)
-    y = jnp.zeros(n_sep + 1, dtype=dtype).at[
-        dp["blk_pos"]].add(yb * dp["blk_mask"])[:n_sep]
+    y = _ext(yb.reshape(-1))[dp["blk_inv_idx"]]
 
     b_next = t[dp["vsum_pos"]]
     x_next = solve_next(b_next)
-    y = y.at[dp["vsum_pos"]].set(x_next)
+    x_next_ext = jnp.concatenate([x_next, jnp.zeros((1,), dtype=dtype)])
+    n_vsum = dp["vsum_pos"].shape[0]
+    y = jnp.where(dp["vsum_slot"] < n_vsum,
+                  x_next_ext[dp["vsum_slot"]], y)
 
-    x2 = _apply_ot(y, dp["w_vals"], dp["w_pos"], n_sep)
+    x2 = _apply_ot(y, dp)
 
     # --- back substitution -------------------------------------------------
     x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
     x2sd = x2_ext[dp["sd_sep_pos"]]
     x1 = x1 - _bmm(fac["G"], x2sd)
 
-    x = jnp.zeros(n_nodes + 1, dtype=dtype)
-    x = x.at[dp["int_pos"]].add(x1 * dp["int_mask"])
-    x = x.at[dp["sep_pos_in_nodes"]].add(x2)
-    return x[:n_nodes]
+    src = jnp.concatenate([x1.reshape(-1), x2,
+                           jnp.zeros((1,), dtype=dtype)])
+    return src[dp["node_src"]]
 
 
 # ---------------------------------------------------------------------------
@@ -587,17 +597,16 @@ class Preconditioner:
                 b1 = b_ext[dp["int_pos"]]
                 x1 = _bmm(fac["A11inv"], b1)
                 y2c = _bmm(fac["A21"], x1)
-                y2 = jnp.zeros(n_sep + 1, dtype=dtype).at[
-                    dp["sd_sep_pos"]].add(y2c * dp["sd_sep_mask"])[:n_sep]
+                y2 = jnp.sum(_ext(y2c.reshape(-1))[dp["sep_from_sd"]],
+                             axis=1)
                 b2 = b[dp["sep_pos_in_nodes"]]
                 r2 = b2 - y2
                 x2 = factors["coarse"]["inv"] @ r2
                 x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
                 x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]])
-                x = jnp.zeros(P.n_nodes + 1, dtype=dtype)
-                x = x.at[dp["int_pos"]].add(x1 * dp["int_mask"])
-                x = x.at[dp["sep_pos_in_nodes"]].add(x2)
-                return x[:P.n_nodes]
+                src = jnp.concatenate([x1.reshape(-1), x2,
+                                       jnp.zeros((1,), dtype=dtype)])
+                return src[dp["node_src"]]
 
             self._compute_pure = lambda vals, dplans, dcoarse: \
                 compute_fn(vals, dplans, dcoarse)

@@ -176,6 +176,7 @@ class LevelPlan:
 
     # bookkeeping for the next level
     next_nodes: np.ndarray       # sorted vsum GIDs
+    apply_ot: bool = True        # False: no transform/drop at this level
     next_pattern: Optional[sp.csr_matrix] = None  # index CSR of next matrix
 
 
@@ -183,7 +184,9 @@ def build_level_plan(level: int,
                      hier: Hierarchy,
                      pattern: sp.csr_matrix,
                      nodes: np.ndarray,
-                     testvector: np.ndarray) -> Tuple[LevelPlan, np.ndarray]:
+                     testvector: np.ndarray,
+                     apply_dropping: bool = True
+                     ) -> Tuple[LevelPlan, np.ndarray]:
     """Build the static plan for one level.
 
     Args:
@@ -248,7 +251,8 @@ def build_level_plan(level: int,
         locs = _locate(nodes, g.nodes)
         group_locs.append(_locate(sep_sorted, g.nodes))
         v = tv_nodes[locs]
-        reflectors.append(make_reflector(v.copy()))
+        reflectors.append(make_reflector(v.copy())
+                          if apply_dropping else None)
 
     gmax = _round_up(max((g.nodes.size for g in groups), default=1), 4)
     refl_list = [(w, gl) for w, gl in zip(reflectors, group_locs)
@@ -265,15 +269,16 @@ def build_level_plan(level: int,
     group_index = {int(g.nodes[0]): gi for gi, g in enumerate(groups)}
     Q = np.zeros((n_sd, ns, ns))
     Q[:, np.arange(ns), np.arange(ns)] = 1.0
-    for sd in range(n_sd):
-        off = 0
-        for gi in hier.sd_groups[sd]:
-            ln = groups[gi].nodes.size
-            w = reflectors[gi]
-            if w is not None:
-                Q[sd, off:off + ln, off:off + ln] = \
-                    2.0 * np.outer(w, w) - np.eye(ln)
-            off += ln
+    if apply_dropping:
+        for sd in range(n_sd):
+            off = 0
+            for gi in hier.sd_groups[sd]:
+                ln = groups[gi].nodes.size
+                w = reflectors[gi]
+                if w is not None:
+                    Q[sd, off:off + ln, off:off + ln] = \
+                        2.0 * np.outer(w, w) - np.eye(ln)
+                off += ln
 
     # --- transformed & dropped SC pattern + assembly sources ---------------
     # Enumerate contributions per subdomain: all Vsum-Vsum pairs plus all
@@ -285,6 +290,20 @@ def build_level_plan(level: int,
     for sd in range(n_sd):
         gis = hier.sd_groups[sd]
         if not gis:
+            continue
+        if not apply_dropping:
+            # full SC: all pairs of the subdomain's separator nodes
+            # (reference SchurComplement::Construct /
+            # SchurPreconditioner::Assemble)
+            locs = sep_locs_sd[sd]
+            mloc = locs.size
+            rr = np.repeat(locs, mloc)
+            cc = np.tile(locs, mloc)
+            il = np.repeat(np.arange(mloc), mloc)
+            jl = np.tile(np.arange(mloc), mloc)
+            rows_all.append(rr)
+            cols_all.append(cc)
+            srcs_all.append((sd * ns + il) * ns + jl)
             continue
         offs = np.cumsum([0] + [groups[gi].nodes.size for gi in gis])[:-1]
         # Vsum-Vsum: local offset of each group's first node
@@ -370,7 +389,7 @@ def build_level_plan(level: int,
     sc_lookup = sc_pat.copy()
 
     blocks: List[np.ndarray] = []
-    for lset in hier.linked_sets:
+    for lset in (hier.linked_sets if apply_dropping else []):
         locs = [group_locs[gi][1:] for gi in lset
                 if groups[gi].nodes.size > 1]
         if not locs:
@@ -389,12 +408,19 @@ def build_level_plan(level: int,
         blk_idx[b, :m, :m] = csr_entry_ids(sc_lookup, rr, cc).reshape(m, m)
 
     # --- Vsum / next level --------------------------------------------------
-    vsum_gids = hier.vsum_nodes()
-    order_v = np.argsort(vsum_gids)
-    next_nodes = vsum_gids[order_v]
-    vsum_sep_loc = np.array([group_locs[gi][0] for gi in range(n_groups)],
-                            dtype=np.int64)
-    vsum_pos = vsum_sep_loc[order_v]
+    if apply_dropping:
+        vsum_gids = hier.vsum_nodes()
+        order_v = np.argsort(vsum_gids)
+        next_nodes = vsum_gids[order_v]
+        vsum_sep_loc = np.array(
+            [group_locs[gi][0] for gi in range(n_groups)], dtype=np.int64)
+        vsum_pos = vsum_sep_loc[order_v]
+    else:
+        # no dropping: every separator node goes to the next level
+        # (reference CreateVSumMap with applyDropping_ == false)
+        next_nodes = sep_sorted.copy()
+        vsum_sep_loc = np.arange(n_sep, dtype=np.int64)
+        vsum_pos = np.arange(n_sep, dtype=np.int64)
 
     # next-level pattern: all SC entries with both endpoints Vsums
     vsum_mask_sep = np.zeros(max(n_sep, 1), dtype=bool)
@@ -427,15 +453,18 @@ def build_level_plan(level: int,
 
     # --- next test vector ---------------------------------------------------
     tv_next = np.zeros(next_nodes.size)
-    for gi in range(n_groups):
-        g = groups[gi]
-        locs = _locate(nodes, g.nodes)
-        v = tv_nodes[locs]
-        if reflectors[gi] is None:
-            val = -v[0]
-        else:
-            val = np.sign(v[0]) * np.linalg.norm(v)
-        tv_next[sep_to_next[vsum_sep_loc[gi]]] = val
+    if apply_dropping:
+        for gi in range(n_groups):
+            g = groups[gi]
+            locs = _locate(nodes, g.nodes)
+            v = tv_nodes[locs]
+            if reflectors[gi] is None:
+                val = -v[0]
+            else:
+                val = np.sign(v[0]) * np.linalg.norm(v)
+            tv_next[sep_to_next[vsum_sep_loc[gi]]] = val
+    else:
+        tv_next = tv_nodes[_locate(nodes, next_nodes)].copy()
 
     # --- gather-form inverse maps (TPU scatter avoidance) -------------------
     # contributions of per-subdomain separator vectors to the global one
@@ -489,6 +518,7 @@ def build_level_plan(level: int,
         sc22_src=sc22_src, sc11_src=sc11_src, sc11_seg=sc11_seg,
         blk_idx=blk_idx, blk_pos=blk_pos, blk_mask=blk_mask,
         vsum_pos=vsum_pos, next_idx=next_idx,
+        apply_ot=apply_dropping,
         next_diag_entry=diag_entry,
         next_rows=next_rows_csr, next_cols=next_cols_csr,
         next_nodes=next_nodes, next_pattern=next_pattern,

@@ -90,11 +90,14 @@ def _drop_rel_diag(vals, rows, cols, diag_entry, tol=SMALL_ENTRY):
     return jnp.where(keep, vals, jnp.zeros_like(vals))
 
 
-def _apply_ot(t, dp):
+def _apply_ot(t, dp, enabled=True):
     """y = (2 W^T W - I) t — the global per-group Householder transform;
     groups without a reflector row get -I (reference
     HYMLS_Householder.cpp:353-363 with missing rows).  Fully
-    gather-form: each node belongs to at most one reflector row."""
+    gather-form: each node belongs to at most one reflector row.
+    enabled=False (Apply Orthogonal Transformation off) is identity."""
+    if not enabled:
+        return t
     w_vals, w_pos = dp["w_vals"], dp["w_pos"]
     t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=t.dtype)])
     dots = jnp.sum(w_vals * t_ext[w_pos], axis=1)
@@ -135,7 +138,7 @@ def _device_level(plan: LevelPlan, dtype) -> Dict[str, jnp.ndarray]:
 # per-level numeric kernels
 # ---------------------------------------------------------------------------
 
-def _compute_level(vals, dp, sizes):
+def _compute_level(vals, dp, sizes, apply_ot=True):
     """Factor one level: returns (factors dict, next-level values)."""
     n_sep, nnz_sc = sizes
     dtype = vals.dtype
@@ -154,9 +157,12 @@ def _compute_level(vals, dp, sizes):
     G = A11inv @ A12                  # (s, ni, ns)
     T11 = -(A21 @ G)                  # (s, ns, ns)
 
-    Q = dp["Q"]
-    T22q = Q @ A22 @ Q                # Q symmetric: Q A Q^T == Q A Q
-    T11q = Q @ T11 @ Q
+    if apply_ot:
+        Q = dp["Q"]
+        T22q = Q @ A22 @ Q            # Q symmetric: Q A Q^T == Q A Q
+        T11q = Q @ T11 @ Q
+    else:
+        T22q, T11q = A22, T11
 
     sc = T22q.reshape(-1)[dp["sc22_src"]]
     T11_flat_ext = _ext(T11q.reshape(-1))
@@ -307,7 +313,7 @@ def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
     return {"inv": _inv(A)}
 
 
-def _apply_level(b, fac, dp, sizes, solve_next):
+def _apply_level(b, fac, dp, sizes, solve_next, apply_ot=True):
     """One level of the preconditioner application (block-diagonal
     variant; reference Preconditioner::ApplyInverse +
     SchurPreconditioner::ApplyInverse).  All data movement is
@@ -326,7 +332,7 @@ def _apply_level(b, fac, dp, sizes, solve_next):
     r2 = b2 - y2
 
     # --- Schur preconditioner -------------------------------------------
-    t = _apply_ot(r2, dp)
+    t = _apply_ot(r2, dp, apply_ot)
 
     t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=dtype)])
     tb = t_ext[dp["blk_pos"]]
@@ -340,7 +346,7 @@ def _apply_level(b, fac, dp, sizes, solve_next):
     y = jnp.where(dp["vsum_slot"] < n_vsum,
                   x_next_ext[dp["vsum_slot"]], y)
 
-    x2 = _apply_ot(y, dp)
+    x2 = _apply_ot(y, dp, apply_ot)
 
     # --- back substitution -------------------------------------------------
     x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
@@ -414,6 +420,7 @@ class Preconditioner:
         self.max_level = prec.get("Number of Levels", 1)
         self.variant = prec.get("Preconditioner Variant", "Block Diagonal")
         self.partitioner_type = prec.get("Partitioner", "Cartesian")
+        self.apply_dropping = prec.get("Apply Dropping", True)
 
         fix_gids: List[int] = []
         pos = 1
@@ -460,7 +467,8 @@ class Preconditioner:
             cart = self._make_partitioner(part)
             sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
             hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
-            plan, tv = build_level_plan(lev, hier, pattern, nodes, tv)
+            plan, tv = build_level_plan(lev, hier, pattern, nodes, tv,
+                                        apply_dropping=self.apply_dropping)
             self.plans.append(plan)
             self.hierarchies.append(hier)
             nodes = plan.next_nodes
@@ -619,6 +627,7 @@ class Preconditioner:
 
         sizes = [(p.n_sep, p.nnz_sc) for p in plans]
         napply = [(p.n_nodes, p.n_sep) for p in plans]
+        ots = [p.apply_ot for p in plans]
         cp = self.coarse_plan
         border = self._border
         dtype = self.dtype
@@ -627,7 +636,8 @@ class Preconditioner:
             facs = []
             v = vals
             for lev in range(max_level):
-                f, v = _compute_level(v, dplans[lev], sizes[lev])
+                f, v = _compute_level(v, dplans[lev], sizes[lev],
+                                      apply_ot=ots[lev])
                 facs.append(f)
             if border_vals is None:
                 coarse = _coarse_factor(v, dcoarse["rows"], dcoarse["cols"],
@@ -651,7 +661,7 @@ class Preconditioner:
                     return factors["coarse"]["inv"] @ rhs
                 return _apply_level(
                     rhs, factors["levels"][lev], dplans[lev], napply[lev],
-                    lambda r: solve_at(lev + 1, r))
+                    lambda r: solve_at(lev + 1, r), apply_ot=ots[lev])
             return solve_at(0, b)
 
         def apply_bordered_fn(factors, dplans, b, T):

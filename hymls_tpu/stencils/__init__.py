@@ -1,11 +1,13 @@
 from .generators import (
     laplace2d, laplace3d, laplace2d_neumann, laplace3d_neumann,
-    darcy2d, darcy3d, stokes2d, stokes3d, create_matrix, create_testvector,
+    darcy2d, darcy3d, darcyb2d, stokes2d, stokes2d_b, stokes3d,
+    stretched2d, create_matrix, create_testvector,
     create_nullspace,
 )
 
 __all__ = [
     "laplace2d", "laplace3d", "laplace2d_neumann", "laplace3d_neumann",
-    "darcy2d", "darcy3d", "stokes2d", "stokes3d", "create_matrix",
+    "darcy2d", "darcy3d", "darcyb2d", "stokes2d", "stokes2d_b",
+    "stokes3d", "stretched2d", "create_matrix",
     "create_testvector", "create_nullspace",
 ]

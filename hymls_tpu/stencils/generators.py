@@ -226,6 +226,112 @@ def darcy3d(nx, ny, nz, a=1.0, b=-1.0, perio=NO_PERIO) -> sp.csr_matrix:
     return coo.tocsr(n)
 
 
+def darcyb2d(nx, ny, a=1.0, b=-1.0, perio=NO_PERIO) -> sp.csr_matrix:
+    """2D B-grid Darcy (velocities at cell corners): each velocity
+    couples to the 4 surrounding pressures; reference
+    GaleriExt_Darcy2D.h:157-303 (DarcyB2D)."""
+    dof = 3
+    n = nx * ny * dof
+    left, right, lower, upper = _neighbors2d(nx, ny, perio)
+    base = np.arange(nx * ny)
+    c = -b
+    coo = _Coo()
+
+    def pg(node):
+        return np.where(np.asarray(node) >= 0,
+                        np.asarray(node) * dof + 2, -1)
+
+    top_right = np.where(upper >= 0, right[np.clip(upper, 0, None)], -1)
+    top_right = np.where((upper >= 0) & (right >= 0), top_right, -1)
+    bottom_left = np.where(lower >= 0, left[np.clip(lower, 0, None)], -1)
+    bottom_left = np.where((lower >= 0) & (left >= 0), bottom_left, -1)
+
+    m_ru = (right >= 0) & (upper >= 0)
+    for var, signs in ((0, (-b, b, -b, b)), (1, (-b, -b, b, b))):
+        r = base * dof + var
+        coo.add(r, r, a)
+        coo.add(r[m_ru], pg(base[m_ru]), signs[0])
+        coo.add(r[m_ru], pg(right[m_ru]), signs[1])
+        coo.add(r[m_ru], pg(upper[m_ru]), signs[2])
+        coo.add(r[m_ru], pg(top_right[m_ru]), signs[3])
+
+    # divergence rows (reference DarcyB2D P-branch)
+    p = base * dof + 2
+
+    def vg(node, var):
+        return np.where(np.asarray(node) >= 0,
+                        np.asarray(node) * dof + var, -1)
+
+    m = (right >= 0) & (upper >= 0)
+    coo.add(p[m], vg(base[m], 0), -c)
+    coo.add(p[m], vg(base[m], 1), -c)
+    m = (left >= 0) & (upper >= 0)
+    coo.add(p[m], vg(left[m], 0), c)
+    coo.add(p[m], vg(left[m], 1), -c)
+    m = (lower >= 0) & (right >= 0)
+    coo.add(p[m], vg(lower[m], 0), -c)
+    coo.add(p[m], vg(lower[m], 1), c)
+    m = (lower >= 0) & (left >= 0)
+    coo.add(p[m], vg(bottom_left[m], 0), c)
+    coo.add(p[m], vg(bottom_left[m], 1), c)
+    return coo.tocsr(n)
+
+
+def stokes2d_b(nx, ny, a=None, b=1.0, perio=NO_PERIO) -> sp.csr_matrix:
+    """2D B-grid Stokes (grid_type='B' in the reference Stokes2D):
+    corner velocities with full 5-point Laplacians; both u and v are
+    Dirichlet on the right AND top walls (staggering CENTERED_NONE:
+    both wall branches fire for every velocity,
+    GaleriExt_Stokes2D.h:104-214)."""
+    if a is None:
+        a = float(nx * nx)
+    dof = 3
+    n = nx * ny * dof
+    base = np.arange(nx * ny)
+    left, right, lower, upper = _neighbors2d(nx, ny, perio)
+    lleft, lright, llower, lupper = _neighbors2d(nx, ny, NO_PERIO)
+    neumann = perio != NO_PERIO
+
+    def second_of(nb, table):
+        out = np.full(base.shape, -1)
+        m = nb > 0
+        out[m] = table[nb[m]]
+        return out
+
+    rightright = second_of(right, right)
+    upup = second_of(upper, upper)
+
+    coo = _Coo()
+    darcy = darcyb2d(nx, ny, 0.0, -b, perio)
+    lap_nbs = (lleft, lright, llower, lupper)
+
+    for ivar in (0, 1):
+        rows = base * dof + ivar
+        dir_mask = (right < 0) | (upper < 0)
+
+        lap_diag = np.full(base.shape, 4.0)
+        if neumann:
+            for nb in lap_nbs:
+                lap_diag += np.where(nb < 0, -1.0, 0.0)
+
+        diag_val = np.where(dir_mask, -(b / (a * a)) * a, -(lap_diag * a))
+        coo.add(rows, rows, diag_val)
+
+        zero_r = np.where((right > 0) & (rightright < 0), right, -1)
+        zero_u = np.where((upper > 0) & (upup < 0), upper, -1)
+        for nb in lap_nbs:
+            v = np.where(((nb >= 0) & (nb == zero_r))
+                         | ((nb >= 0) & (nb == zero_u)), 0.0, a)
+            keep = (nb >= 0) & ~dir_mask
+            coo.add(rows[keep], nb[keep] * dof + ivar, v[keep])
+
+    A_lap = coo.tocsr(n)
+    K = (A_lap + darcy).tocsr()
+    K.sum_duplicates()
+    K.sort_indices()
+    return K
+
+
 def stokes2d(nx, ny, a=None, b=1.0, perio=NO_PERIO) -> sp.csr_matrix:
     """2D C-grid Stokes K=[A B; B' 0], dof=3; A = -a*Laplace(u/v) with
     staggered boundary fixes.  Matches reference
@@ -397,6 +503,8 @@ def create_matrix(params: Params) -> sp.csr_matrix:
     if eqn == "Stokes-C":
         return stokes2d(nx, ny, float(nx * nx), 1.0, perio) if dim == 2 \
             else stokes3d(nx, ny, nz, float(nx * nx), 1.0, perio)
+    if eqn == "Stokes-B" and dim == 2:
+        return stokes2d_b(nx, ny, float(nx * nx), 1.0, perio)
     raise ValueError(f"Equations '{eqn}' not supported by create_matrix")
 
 

@@ -38,7 +38,7 @@ def test_stokes_b_no_dropping():
     x_ex -= ns @ (np.linalg.pinv(ns) @ x_ex)
     b = K @ x_ex
     x, res = S.apply_inverse(b)
-    x = np.asarray(x)
+    x = np.array(x)
     err = x - x_ex
     x -= ns @ (np.linalg.pinv(ns) @ err)
     relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)

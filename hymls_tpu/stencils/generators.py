@@ -399,12 +399,81 @@ def stokes2d(nx, ny, a=None, b=1.0, perio=NO_PERIO) -> sp.csr_matrix:
     return K
 
 
-def stokes3d(nx, ny, nz, a=None, b=1.0, perio=NO_PERIO) -> sp.csr_matrix:
-    """3D C-grid Stokes, dof=4; reference src/GaleriExt_Stokes3D.h.
+def darcy_thcm3d(nx, ny, nz, a=1.0, b=-1.0, perio=NO_PERIO) -> sp.csr_matrix:
+    """3D THCM/L-grid Darcy: u,v at cell corners in the xy plane (4
+    pressure couplings), w staggered in z (2 pressures); reference
+    GaleriExt_Darcy3D.h:446-614 (DarcyTHCM3D)."""
+    dof = 4
+    n = nx * ny * nz * dof
+    left, right, lower, upper, below, above = _neighbors3d(nx, ny, nz, perio)
+    base = np.arange(nx * ny * nz)
+    c = -b
+    coo = _Coo()
 
-    Note the reference's 3D Dirichlet velocity rows use -1/a (scaled by
-    -a => diagonal +1) rather than the 2D b/(a*a) convention
-    (GaleriExt_Stokes3D.h:193-241)."""
+    def second2(nb1, nb2):
+        """nb2-neighbor of nb1 (e.g. upper_right)."""
+        out = np.full(base.shape, -1)
+        m = nb1 >= 0
+        out[m] = nb2[nb1[m]]
+        return out
+
+    upper_right = second2(upper, right)
+    upper_left = second2(upper, left)
+    lower_right = second2(lower, right)
+    lower_left = second2(lower, left)
+
+    def pg(node):
+        return np.where(np.asarray(node) >= 0,
+                        np.asarray(node) * dof + 3, -1)
+
+    def vg(node, var):
+        return np.where(np.asarray(node) >= 0,
+                        np.asarray(node) * dof + var, -1)
+
+    m_ur = upper_right >= 0
+    for var, signs in ((0, (-b, -b, b, b)), (1, (-b, b, -b, b))):
+        r = base * dof + var
+        coo.add(r, r, a)
+        coo.add(r[m_ur], pg(base[m_ur]), signs[0])
+        coo.add(r[m_ur], pg(upper[m_ur]), signs[1])
+        coo.add(r[m_ur], pg(right[m_ur]), signs[2])
+        coo.add(r[m_ur], pg(upper_right[m_ur]), signs[3])
+    w = base * dof + 2
+    coo.add(w, w, a)
+    mw = above >= 0
+    coo.add(w[mw], pg(base[mw]), -b)
+    coo.add(w[mw], pg(above[mw]), b)
+
+    # divergence rows
+    p = base * dof + 3
+    m = upper_right >= 0
+    coo.add(p[m], vg(base[m], 0), -c)
+    coo.add(p[m], vg(base[m], 1), -c)
+    coo.add(p[above >= 0], vg(base[above >= 0], 2), -c)
+    m = upper_left >= 0
+    coo.add(p[m], vg(left[m], 0), c)
+    coo.add(p[m], vg(left[m], 1), -c)
+    m = lower_right >= 0
+    coo.add(p[m], vg(lower[m], 0), -c)
+    coo.add(p[m], vg(lower[m], 1), c)
+    m = lower_left >= 0
+    coo.add(p[m], vg(lower_left[m], 0), c)
+    coo.add(p[m], vg(lower_left[m], 1), c)
+    coo.add(p, vg(below, 2), c)
+    return coo.tocsr(n)
+
+
+def stokes3d(nx, ny, nz, a=None, b=1.0, perio=NO_PERIO,
+             grid_type="C") -> sp.csr_matrix:
+    """3D Stokes on the C / L / T(HCM) grids, dof=4; reference
+    src/GaleriExt_Stokes3D.h.
+
+    Staggering flags per grid type (GaleriExt_Stokes3D.h:155-175):
+      C: u centered in y,z; v in x,z; w in x,y.
+      L/T: u,v centered in z (corner velocities in the xy plane);
+           w centered in x,y.  'T' additionally zeroes the w Laplace
+           block (hydrostatic balance) and adds Coriolis u/v coupling.
+    Dirichlet velocity rows use -1/a (scaled by -a => diagonal +1)."""
     if a is None:
         a = float(nx * nx)
     dof = 4
@@ -421,36 +490,62 @@ def stokes3d(nx, ny, nz, a=None, b=1.0, perio=NO_PERIO) -> sp.csr_matrix:
         return out
 
     coo = _Coo()
-    darcy = darcy3d(nx, ny, nz, 0.0, -b, perio)
+    if grid_type == "C":
+        darcy = darcy3d(nx, ny, nz, 0.0, -b, perio)
+        specs = (
+            (0, right, second_of(right, right),
+             ((lower, upper), (below, above))),
+            (1, upper, second_of(upper, upper),
+             ((left, right), (below, above))),
+            (2, above, second_of(above, above),
+             ((left, right), (lower, upper))),
+        )
+    else:
+        darcy = darcy_thcm3d(nx, ny, nz, 0.0, -b, perio)
+        # u,v: CENTERED_Z; w: CENTERED_X|CENTERED_Y
+        specs = (
+            (0, right, second_of(right, right), ((below, above),)),
+            (1, upper, second_of(upper, upper), ((below, above),)),
+            (2, above, second_of(above, above),
+             ((left, right), (lower, upper))),
+        )
 
-    specs = (
-        (0, right, second_of(right, right), ((lower, upper), (below, above))),
-        (1, upper, second_of(upper, upper), ((left, right), (below, above))),
-        (2, above, second_of(above, above), ((left, right), (lower, upper))),
-    )
+    omega = 100.0
     for ivar, dirn, second, tang_pairs in specs:
         rows = base * dof + ivar
         dir_mask = dirn < 0
+        thcm_w = grid_type == "T" and ivar == 2
 
         lap_diag = np.full(base.shape, 6.0)
         if neumann:
             for nb in lnbs:
                 lap_diag += np.where(nb < 0, -1.0, 0.0)
+        if thcm_w:
+            lap_diag = np.zeros(base.shape)
 
         add_to_diag = np.zeros(base.shape)
         for t0, t1 in tang_pairs:
             add_to_diag += np.where((t0 < 0) | (t1 < 0), a, 0.0)
         add_to_diag = np.where(dir_mask, 0.0, add_to_diag)
+        if thcm_w:
+            add_to_diag = np.zeros(base.shape)
 
         diag_val = np.where(dir_mask, -(-1.0 / a) * a,
                             -(lap_diag * a + add_to_diag))
         coo.add(rows, rows, diag_val)
 
         zero_to = np.where((dirn > 0) & (second < 0), dirn, -1)
-        for nb in lnbs:
-            v = np.where((nb >= 0) & (nb == zero_to), 0.0, a)
-            keep = (nb >= 0) & ~dir_mask
-            coo.add(rows[keep], nb[keep] * dof + ivar, v[keep])
+        if not thcm_w:
+            for nb in lnbs:
+                v = np.where((nb >= 0) & (nb == zero_to), 0.0, a)
+                keep = (nb >= 0) & ~dir_mask
+                coo.add(rows[keep], nb[keep] * dof + ivar, v[keep])
+
+        # Coriolis coupling on the THCM grid (u <-> v)
+        if grid_type == "T" and ivar == 0:
+            coo.add(rows[~dir_mask], rows[~dir_mask] + 1, -omega * a)
+        elif grid_type == "T" and ivar == 1:
+            coo.add(rows[~dir_mask], rows[~dir_mask] - 1, omega * a)
 
     A_lap = coo.tocsr(n)
     K = (A_lap + darcy).tocsr()
@@ -503,8 +598,15 @@ def create_matrix(params: Params) -> sp.csr_matrix:
     if eqn == "Stokes-C":
         return stokes2d(nx, ny, float(nx * nx), 1.0, perio) if dim == 2 \
             else stokes3d(nx, ny, nz, float(nx * nx), 1.0, perio)
-    if eqn == "Stokes-B" and dim == 2:
+    # the grid type comes from the Galeri Label's last letter when set
+    # (reference HYMLS_MainUtils.cpp:308-324), else from 'Equations'
+    gt = label[-1] if label.startswith("Stokes-") else (
+        eqn[-1] if eqn.startswith("Stokes-") else "")
+    if gt == "B" and dim == 2:
         return stokes2d_b(nx, ny, float(nx * nx), 1.0, perio)
+    if gt in ("L", "T", "B") and dim == 3:
+        return stokes3d(nx, ny, nz, float(nx * nx), 1.0, perio,
+                        "L" if gt == "B" else gt)
     raise ValueError(f"Equations '{eqn}' not supported by create_matrix")
 
 

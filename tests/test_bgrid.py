@@ -61,3 +61,60 @@ def test_stokes_b_checkerboard_testvector():
     g_u = (2 + 2 * nx) * dof + 0
     g_u2 = (3 + 2 * nx) * dof + 0
     assert tv[g_u] * tv[g_u2] == -1.0
+
+
+def _lt_params(lbl, nx=8):
+    return Params({
+        "Problem": {"Equations": "Stokes-L", "Dimension": 3,
+                    "nx": nx, "ny": nx, "nz": nx,
+                    "Degrees of Freedom": 4},
+        "Driver": {"Galeri Label": lbl},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Left or Right Preconditioning": "Right",
+                   "Initial Vector": "Zero",
+                   "Iterative Solver": {"Maximum Iterations": 200,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Partitioner": "Cartesian",
+                           "Fix Pressure Level": True,
+                           "Apply Dropping": False,
+                           "Separator Length (x)": 4,
+                           "Separator Length (y)": 4,
+                           "Separator Length (z)": nx,
+                           "Coarsening Factor": 2,
+                           "Number of Levels": 2},
+    })
+
+
+def _run_lt(lbl):
+    """Reference stokes_L / stokes_THCM: 3D L/T grids, column
+    subdomains (full z), Apply Dropping=false, <=80 iters @1e-9."""
+    from hymls_tpu import Preconditioner, Solver
+    params = _lt_params(lbl)
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv).compute()
+    S = Solver(K, P, params)
+    ns = create_nullspace(
+        Params({"Problem": params.sublist("Problem").to_dict(),
+                "Driver": {"Null Space Type": "Checkerboard"}}),
+        K.shape[0])
+    rng = np.random.default_rng(7)
+    x_ex = rng.standard_normal(K.shape[0])
+    x_ex -= ns @ (np.linalg.pinv(ns) @ x_ex)
+    b = K @ x_ex
+    x, res = S.apply_inverse(b)
+    x = np.array(x)
+    err = x - x_ex
+    x -= ns @ (np.linalg.pinv(ns) @ err)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert int(res.iters) <= 80
+    assert relres < 1e-9
+
+
+def test_stokes_l_3d():
+    _run_lt("Stokes-L")
+
+
+def test_stokes_thcm_3d():
+    _run_lt("Stokes-T")

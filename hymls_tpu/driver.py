@@ -165,6 +165,17 @@ def run_case(params: Params, dtype=None) -> RunReport:
                          f"relres {relres:.3e} > target {t_res:g}")
             report.check(relerr <= t_err,
                          f"relerr {relerr:.3e} > target {t_err:g}")
+
+    # eigenvalue computation (reference main_eigs / testEigenSolver)
+    if driver.is_sublist("Eigenvalues"):
+        from .solvers.eigen import JDQR
+        t_eig_iter = targets.get("Number of Eigenvalue Iterations", 9999)
+        jd = JDQR(K, None, P, params, dtype=dtype)
+        eres = jd.solve()
+        report.check(eres.converged >= jd.how_many,
+                     f"only {eres.converged}/{jd.how_many} eigenpairs")
+        report.check(eres.iterations <= t_eig_iter,
+                     f"eig iters {eres.iterations} > {t_eig_iter}")
     return report
 
 

@@ -15,6 +15,7 @@ from typing import Tuple
 import numpy as np
 import scipy.sparse as sp
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,3 +56,62 @@ class EllOperator:
 
     def __call__(self, x):
         return self.matvec_with(self.vals, x)
+
+
+class DiaOperator:
+    """Offset-diagonal (DIA) SpMV for stencil matrices.
+
+    For structured-grid operators the set of distinct column offsets
+    (col - row) is tiny and static, so the matvec is a sum of
+    elementwise products with statically shifted copies of x — no
+    gather at all, which matters on TPU where gathers/scatters are the
+    slow path.  Bands are stored as (n_offsets, n) with a gather map
+    from the CSR value array so value updates need no re-indexing."""
+
+    def __init__(self, A: sp.csr_matrix, dtype=jnp.float64):
+        A = A.tocsr()
+        A.sum_duplicates()
+        A.sort_indices()
+        n = A.shape[0]
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        offs = A.indices.astype(np.int64) - rows
+        uniq = np.unique(offs)
+        self.offsets = uniq
+        self.n = n
+        self.nnz = A.nnz
+        self.dtype = dtype
+        # band k, row i stores A[i, i + offset_k]; vidx maps to CSR data
+        off_of = np.searchsorted(uniq, offs)
+        vidx = np.full((uniq.size, n), A.nnz, dtype=np.int64)
+        vidx[off_of, rows] = np.arange(A.nnz)
+        self.vidx = jnp.asarray(vidx, dtype=jnp.int32)
+        self.vals = jnp.asarray(A.data, dtype=dtype)
+        self.pad = int(max(-uniq.min(initial=0), uniq.max(initial=0), 1))
+
+    def set_values(self, vals):
+        self.vals = jnp.asarray(vals, dtype=self.dtype)
+
+    def matvec_with(self, vals, x):
+        vals_ext = jnp.concatenate([vals, jnp.zeros((1,), dtype=vals.dtype)])
+        bands = vals_ext[self.vidx]                  # (k, n)
+        pad = self.pad
+        x_pad = jnp.pad(x, (pad, pad))
+        y = jnp.zeros_like(x)
+        for k, off in enumerate(self.offsets.tolist()):
+            y = y + bands[k] * jax.lax.dynamic_slice(
+                x_pad, (pad + off,), (self.n,))
+        return y
+
+    def __call__(self, x):
+        return self.matvec_with(self.vals, x)
+
+
+def make_operator(A: sp.csr_matrix, dtype=jnp.float64, max_bands: int = 48):
+    """DIA for stencil-like matrices, ELL otherwise."""
+    A = A.tocsr()
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    n_offsets = np.unique(A.indices.astype(np.int64) - rows).size
+    if n_offsets <= max_bands:
+        return DiaOperator(A, dtype=dtype)
+    return EllOperator(A, dtype=dtype)

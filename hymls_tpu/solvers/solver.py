@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import Params
 from ..core.preconditioner import Preconditioner
-from ..ops.spmv import EllOperator
+from ..ops.spmv import EllOperator, make_operator
 from . import krylov
 from . import deflation as _defl
 
@@ -30,7 +30,7 @@ class Solver:
         self.params = params
         self.precond = precond
         self.dtype = dtype
-        self.op = EllOperator(K, dtype=dtype)
+        self.op = make_operator(K, dtype=dtype)
 
         slist = params.sublist("Solver")
         self.method = slist.get("Krylov Method", "GMRES")
@@ -144,7 +144,7 @@ class Solver:
             return self
         if self.precond._factors is None:
             self.precond.compute()
-        self._opT = EllOperator(self._K.T.tocsr(), dtype=self.dtype)
+        self._opT = make_operator(self._K.T.tocsr(), dtype=self.dtype)
         self._build_projected_solve_placeholder = None
 
         V = _defl.compute_deflation_space(

@@ -33,22 +33,33 @@ SMALL_ENTRY = 1e-14  # reference HYMLS_Macros.hpp:26-30
 # CSR helpers
 # ---------------------------------------------------------------------------
 
+class CsrLookup:
+    """Batched (row, col) -> data-index lookup over a canonical CSR.
+    The composite key array is built once; queries are a single
+    searchsorted (the plan builder issues millions of them)."""
+
+    def __init__(self, A: sp.csr_matrix):
+        self.nnz = A.nnz
+        n = A.shape[1]
+        self._n = n
+        row_of = np.repeat(np.arange(A.shape[0], dtype=np.int64),
+                           np.diff(A.indptr))
+        self.keys = row_of * n + A.indices.astype(np.int64)
+
+    def query(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        q = rows.astype(np.int64) * self._n + cols.astype(np.int64)
+        if self.keys.size == 0:
+            return np.full(q.shape, self.nnz, dtype=np.int64)
+        pos = np.searchsorted(self.keys, q)
+        ok = (pos < self.keys.size) & \
+            (self.keys[np.minimum(pos, self.keys.size - 1)] == q)
+        return np.where(ok, pos, self.nnz).astype(np.int64)
+
+
 def csr_entry_ids(A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray
                   ) -> np.ndarray:
-    """Vectorized (row, col) -> data index lookup; missing entries map to
-    the sentinel A.nnz.  Requires canonical (sorted) CSR."""
-    n = A.shape[1]
-    row_of = np.repeat(np.arange(A.shape[0], dtype=np.int64),
-                       np.diff(A.indptr))
-    keys = row_of * n + A.indices
-    q = rows.astype(np.int64) * n + cols.astype(np.int64)
-    pos = np.searchsorted(keys, q)
-    pos_c = np.minimum(pos, keys.size - 1) if keys.size else pos * 0
-    hit = (keys.size > 0) & (pos < keys.size)
-    ok = np.zeros(q.shape, dtype=bool)
-    if keys.size:
-        ok = hit & (keys[np.minimum(pos, keys.size - 1)] == q)
-    return np.where(ok, pos, A.nnz).astype(np.int64)
+    """One-shot convenience wrapper around CsrLookup."""
+    return CsrLookup(A).query(rows, cols)
 
 
 def _locate(sorted_arr: np.ndarray, gids: np.ndarray) -> np.ndarray:
@@ -221,18 +232,26 @@ def build_level_plan(level: int,
 
     # --- matrix block gathers --------------------------------------------
     nnz = pattern.nnz
+    lookup = CsrLookup(pattern)
 
     def block_idx(rows_list, cols_list, nr, nc):
         out = np.full((n_sd, nr, nc), nnz, dtype=np.int64)
+        qr, qc, meta = [], [], []
         for sd in range(n_sd):
             r = rows_list[sd]
             c = cols_list[sd]
             if r.size == 0 or c.size == 0:
                 continue
-            rr = np.repeat(r, c.size)
-            cc = np.tile(c, r.size)
-            out[sd, :r.size, :c.size] = csr_entry_ids(
-                pattern, rr, cc).reshape(r.size, c.size)
+            qr.append(np.repeat(r, c.size))
+            qc.append(np.tile(c, r.size))
+            meta.append((sd, r.size, c.size))
+        if not qr:
+            return out
+        ids = lookup.query(np.concatenate(qr), np.concatenate(qc))
+        off = 0
+        for sd, nr_, nc_ in meta:
+            out[sd, :nr_, :nc_] = ids[off:off + nr_ * nc_].reshape(nr_, nc_)
+            off += nr_ * nc_
         return out
 
     sep_nlocs_arr = sep_nlocs_sd
@@ -401,11 +420,12 @@ def build_level_plan(level: int,
         np.full((0, mb), n_sep, dtype=np.int64)
     blk_mask = blk_pos < n_sep
     blk_idx = np.full((n_blk, mb, mb), nnz_sc, dtype=np.int64)
+    sc_lu = CsrLookup(sc_lookup)
     for b, locs in enumerate(blocks):
         m = locs.size
         rr = np.repeat(locs, m)
         cc = np.tile(locs, m)
-        blk_idx[b, :m, :m] = csr_entry_ids(sc_lookup, rr, cc).reshape(m, m)
+        blk_idx[b, :m, :m] = sc_lu.query(rr, cc).reshape(m, m)
 
     # --- Vsum / next level --------------------------------------------------
     if apply_dropping:

@@ -97,14 +97,17 @@ class Solver:
             n = self.op.n
             m = self._border[0].shape[1]
 
+            prepare = self.op.prepare
+
             def solve(vals, factors, dplans, border, b, tvec, x0):
                 V, W, C = border
+                pvals = prepare(vals)
                 bz = jnp.concatenate([b, tvec])
                 x0z = jnp.concatenate([x0, jnp.zeros((m,), dtype=b.dtype)])
 
                 def op(z):
                     x, s = z[:n], z[n:]
-                    y = matvec(vals, x) + V @ s
+                    y = self.op.matvec_prepared(pvals, x) + V @ s
                     t = W.T @ x + C @ s
                     return jnp.concatenate([y, t])
 
@@ -119,10 +122,13 @@ class Solver:
             return
 
         apply_fn, _, _ = self.precond.apply_inverse_fn()
+        prepare = self.op.prepare
 
         def solve(vals, factors, dplans, b, x0):
+            pvals = prepare(vals)
+
             def op(x):
-                return matvec(vals, x)
+                return self.op.matvec_prepared(pvals, x)
 
             def prec(x):
                 return apply_fn(factors, dplans, x)
@@ -174,12 +180,16 @@ class Solver:
         tol, maxiter = self.tol, self.maxiter
         left = self.lor == "Left"
 
+        prepare = self.op.prepare
+
         def solve(vals, factors, dplans, V, b):
+            pvals = prepare(vals)
+
             def proj(x):
                 return x - V @ (V.T @ x)
 
             def op(x):
-                return proj(matvec(vals, proj(x)))
+                return proj(self.op.matvec_prepared(pvals, proj(x)))
 
             def prec(x):
                 return proj(apply_fn(factors, dplans, proj(x)))

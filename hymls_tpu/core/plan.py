@@ -196,7 +196,8 @@ def build_level_plan(level: int,
                      pattern: sp.csr_matrix,
                      nodes: np.ndarray,
                      testvector: np.ndarray,
-                     apply_dropping: bool = True
+                     apply_dropping: bool = True,
+                     variant: str = "Block Diagonal"
                      ) -> Tuple[LevelPlan, np.ndarray]:
     """Build the static plan for one level.
 
@@ -408,12 +409,20 @@ def build_level_plan(level: int,
     sc_lookup = sc_pat.copy()
 
     blocks: List[np.ndarray] = []
-    for lset in (hier.linked_sets if apply_dropping else []):
-        locs = [group_locs[gi][1:] for gi in lset
+    if apply_dropping and variant == "Domain Decomposition":
+        # one solver for all non-Vsum nodes (reference
+        # InitializeSingleBlock, HYMLS_SchurPreconditioner.cpp:342-382)
+        locs = [group_locs[gi][1:] for gi in range(n_groups)
                 if groups[gi].nodes.size > 1]
-        if not locs:
-            continue
-        blocks.append(np.concatenate(locs))
+        if locs:
+            blocks.append(np.concatenate(locs))
+    else:
+        for lset in (hier.linked_sets if apply_dropping else []):
+            locs = [group_locs[gi][1:] for gi in lset
+                    if groups[gi].nodes.size > 1]
+            if not locs:
+                continue
+            blocks.append(np.concatenate(locs))
     n_blk = len(blocks)
     mb = _round_up(max((b.size for b in blocks), default=1))
     blk_pos = _pad2(blocks, mb, n_sep) if blocks else \

@@ -392,6 +392,32 @@ def _direct_sc_factor(vals, dsc, T11, n_sep):
     return {"inv": _inv(S)}
 
 
+def _build_bgrid_t(grid: GridInfo) -> sp.csr_matrix:
+    """T rows: u -> (u - v)/sqrt(2), v -> (v + u)/sqrt(2); identity on
+    all other variables (reference HYMLS_Preconditioner.cpp:1082-1112)."""
+    n = grid.num_nodes
+    dof = grid.dof
+    val = np.sqrt(0.5)
+    gid = np.arange(n, dtype=np.int64)
+    var = gid % dof
+    rows = [gid]
+    cols = [gid]
+    vals = [np.where(var <= 1, val, 1.0)]
+    mu = var == 0
+    rows.append(gid[mu])
+    cols.append(gid[mu] + 1)
+    vals.append(np.full(mu.sum(), -val))
+    mv = var == 1
+    rows.append(gid[mv])
+    cols.append(gid[mv] - 1)
+    vals.append(np.full(mv.sum(), val))
+    T = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    T.sort_indices()
+    return T
+
+
 # ---------------------------------------------------------------------------
 # Preconditioner
 # ---------------------------------------------------------------------------
@@ -406,6 +432,16 @@ class Preconditioner:
         self.params = params
         self.dtype = dtype
         self.grid: GridInfo = grid_from_params(params)
+
+        # B-grid transform: M = T' K T with T the 45-degree rotation of
+        # each (u,v) velocity pair (reference Preconditioner::
+        # TransformMatrix, HYMLS_Preconditioner.cpp:1072-1156); the
+        # preconditioner is built on M, vectors are transformed around
+        # the multilevel apply.
+        self._bgrid_T = None
+        if params.sublist("Preconditioner").get("B-Grid Transform", False):
+            self._bgrid_T = _build_bgrid_t(self.grid)
+            K = self._transform_bgrid(K)
 
         K = K.tocsr().copy()
         K.sum_duplicates()
@@ -440,6 +476,15 @@ class Preconditioner:
         self._apply_bordered_jit = None
         self.initialize()
 
+    def _transform_bgrid(self, K: sp.csr_matrix) -> sp.csr_matrix:
+        T = self._bgrid_T
+        M = (T.T @ K.tocsr() @ T).tocsr()
+        M.sum_duplicates()
+        M.sort_indices()
+        # zero (keep pattern static) instead of removing tiny entries
+        M.data[np.abs(M.data) <= SMALL_ENTRY] = 0.0
+        return M
+
     # -- symbolic setup ----------------------------------------------------
     def initialize(self):
         """Partition every level and build the static plans (host)."""
@@ -468,7 +513,8 @@ class Preconditioner:
             sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
             hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
             plan, tv = build_level_plan(lev, hier, pattern, nodes, tv,
-                                        apply_dropping=self.apply_dropping)
+                                        apply_dropping=self.apply_dropping,
+                                        variant=self.variant)
             self.plans.append(plan)
             self.hierarchies.append(hier)
             nodes = plan.next_nodes
@@ -676,6 +722,15 @@ class Preconditioner:
                     napply[lev], lambda r, t: solve_at(lev + 1, r, t))
             return solve_at(0, b, T)
 
+        if self._bgrid_T is not None:
+            from ..ops.spmv import DiaOperator
+            Top = DiaOperator(self._bgrid_T, dtype=self.dtype)
+            TopT = DiaOperator(self._bgrid_T.T.tocsr(), dtype=self.dtype)
+            base_apply = apply_fn
+
+            def apply_fn(factors, dplans, b):       # noqa: F811
+                return Top(base_apply(factors, dplans, TopT(b)))
+
         self._compute_pure = compute_fn
         self._apply_pure = apply_fn
         self._apply_bordered_pure = apply_bordered_fn \
@@ -692,6 +747,8 @@ class Preconditioner:
         pattern as the constructor matrix (reference
         Preconditioner::SetMatrix reuse semantics)."""
         if K is not None:
+            if self._bgrid_T is not None:
+                K = self._transform_bgrid(K)
             K = K.tocsr()
             K.sum_duplicates()
             K.sort_indices()

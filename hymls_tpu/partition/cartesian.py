@@ -46,6 +46,7 @@ class PartitionParams:
     retain_pressures: int = 1
     link_velocities: bool = True
     link_retained_nodes: bool = True
+    bgrid: bool = False
 
     @staticmethod
     def from_params(params: Params, grid: GridInfo, level: int = 0
@@ -113,6 +114,7 @@ class PartitionParams:
             link_velocities=prec.get("Eliminate Velocities Together", True),
             link_retained_nodes=prec.get(
                 "Eliminate Retained Nodes Together", True),
+            bgrid=prec.get("B-Grid Transform", False),
         )
 
     def next_level(self) -> "PartitionParams":
@@ -125,6 +127,7 @@ class PartitionParams:
             retain_pressures=self.retain_pressures,
             link_velocities=self.link_velocities,
             link_retained_nodes=self.link_retained_nodes,
+            bgrid=self.bgrid,
         )
 
 
@@ -286,8 +289,27 @@ class CartesianPartitioner:
                                                                 + 3 * ktype))
                             if not (p.link_velocities and is_vel):
                                 gtype += 2 * d
-                            seps.append(SepGroup(
-                                nodes=gids.astype(np.int64), type=gtype))
+                            if p.bgrid:
+                                # split by xy parity (B-grid; reference
+                                # nodes2 handling)
+                                par = (ii.ravel() + xpos
+                                       + jj.ravel() + ypos) % 2
+                                if gids.size != par.size:
+                                    par = par[-gids.size:]
+                                g_even = gids[par == 0]
+                                g_odd = gids[par == 1]
+                                if g_even.size:
+                                    seps.append(SepGroup(
+                                        nodes=g_even.astype(np.int64),
+                                        type=gtype))
+                                if g_odd.size:
+                                    seps.append(SepGroup(
+                                        nodes=g_odd.astype(np.int64),
+                                        type=gtype + 1))
+                            else:
+                                seps.append(SepGroup(
+                                    nodes=gids.astype(np.int64),
+                                    type=gtype))
 
         seps = [s for s in seps if s.nodes.size > 0]
         for gid in retained:

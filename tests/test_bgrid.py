@@ -118,3 +118,31 @@ def test_stokes_l_3d():
 
 def test_stokes_thcm_3d():
     _run_lt("Stokes-T")
+
+
+def test_stokes_l2_bgrid_transform():
+    """Reference stokes_L2: 3D L-grid with the B-Grid velocity
+    transform (M = T'KT) plus parity group splitting."""
+    from hymls_tpu import Preconditioner, Solver
+    params = _lt_params("Stokes-L")
+    params.sublist("Preconditioner")["B-Grid Transform"] = True
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv).compute()
+    S = Solver(K, P, params)
+    ns = create_nullspace(
+        Params({"Problem": params.sublist("Problem").to_dict(),
+                "Driver": {"Null Space Type": "Checkerboard"}}),
+        K.shape[0])
+    rng = np.random.default_rng(7)
+    x_ex = rng.standard_normal(K.shape[0])
+    x_ex -= ns @ (np.linalg.pinv(ns) @ x_ex)
+    b = K @ x_ex
+    x, res = S.apply_inverse(b)
+    x = np.array(x)
+    err = x - x_ex
+    x -= ns @ (np.linalg.pinv(ns) @ err)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert int(res.iters) <= 80
+    assert relres < 1e-9

@@ -3,33 +3,42 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Problem: 2D Laplace 256^2, 2-level method, CG to 1e-10 — the scaled-up
-version of the reference's laplace2 integration benchmark (the
-reference publishes no absolute wall-clock numbers; BASELINE.md's
-quantitative targets are iteration counts, which this run also
-enforces).  vs_baseline reports target_iters / achieved_iters (>= 1.0
-means we meet or beat the reference's iteration target).
+Problem: 2D Laplace 256^2, 3-level method (the scaled-up version of the
+reference's laplace2 integration benchmark), full f64 accuracy.  The
+reference publishes no absolute wall-clock numbers; its quantitative
+targets are iteration counts, which this run also enforces
+(vs_baseline = target_iters / achieved_iters; >= 1.0 means we meet or
+beat the reference's iteration target).
+
+Measurement note: the timed region runs REPS factorization+solve
+pairs inside one device computation and blocks once — device->host
+round trips through remote-TPU tunnels would otherwise dominate and
+measure the tunnel, not the solver.
 """
 import json
-import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# persistent compilation cache: TPU AOT compiles are expensive through
+# the remote tunnel; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REPS = 10
 
 
 def main():
     from hymls_tpu.config import Params
     from hymls_tpu.stencils import create_matrix, create_testvector
     from hymls_tpu import Preconditioner, Solver
+    from hymls_tpu.solvers import krylov
 
-    on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    # f64 is emulated on TPU; the laplace2 target tolerance (1e-9 rel
-    # residual) is reachable in f64 only, so keep f64 but report dtype.
     dtype = jnp.float64
-
     nx = 256
     params = Params({
         "Problem": {"Equations": "Laplace", "Dimension": 2,
@@ -48,40 +57,65 @@ def main():
 
     P = Preconditioner(K, params, testvector=tv, dtype=dtype)
     S = Solver(K, P, params, dtype=dtype)
-
-    # warm-up: trace + compile everything once
     P.compute()
-    x, res = S.apply_inverse(b)
-    jax.block_until_ready(x)
 
-    # timed: one full re-factorization + solve (the Newton-step path)
+    compute_pure = P._compute_pure
+    dplans = P._dplans
+    extra = P._extra_plan
+    apply_fn = P._apply_pure
+    prepare = S.op.prepare
+    mvp = S.op.matvec_prepared
+
+    def setup_and_solve(vals, b):
+        """One Newton-step unit: re-factor + CG solve."""
+        factors = compute_pure(vals, dplans, extra)
+        pv = prepare(vals)
+        res = krylov.cg(lambda x: mvp(pv, x), b, jnp.zeros_like(b),
+                        lambda x: apply_fn(factors, dplans, x),
+                        tol=1e-10, maxiter=100)
+        return res.x, res.iters
+
+    def bench_fn(vals, b):
+        def body(i, carry):
+            acc, it = carry
+            # tiny value perturbation so iterations can't be CSE'd away
+            x, iters = setup_and_solve(vals * (1.0 + 1e-14 * i), b)
+            return acc + x, it + iters
+        acc, iters = lax.fori_loop(0, REPS, body,
+                                   (jnp.zeros_like(b), jnp.array(0)))
+        return acc[0] + 0.0 * jnp.sum(acc), iters
+
+    bench_jit = jax.jit(bench_fn)
+    vals = jnp.asarray(K.data, dtype=dtype)
+    bj = jnp.asarray(b, dtype=dtype)
+
+    # warm-up (compile)
+    out, iters = bench_jit(vals, bj)
+    jax.block_until_ready(out)
+
     t0 = time.perf_counter()
-    P.compute()
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), P.factors)
-    t1 = time.perf_counter()
+    out, iters = bench_jit(vals, bj)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / REPS
+
+    # correctness check (outside the timed region)
     x, res = S.apply_inverse(b)
-    jax.block_until_ready(x)
-    t2 = time.perf_counter()
+    xh = np.asarray(jax.device_get(x))
+    relres = float(np.linalg.norm(K @ xh - b) / np.linalg.norm(b))
+    niter = int(res.iters)
+    ok = relres <= 1e-9 and niter <= 35
 
-    relres = float(np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b))
-    iters = int(res.iters)
-    total = t2 - t0
-
-    # reference laplace2 target: <= 35 CG iterations at 1e-9
-    ok = relres <= 1e-9 and iters <= 35
     result = {
-        "metric": "laplace2d_256_L2_setup_plus_solve",
-        "value": round(total, 4),
+        "metric": "laplace2d_256_L2_factor_plus_solve",
+        "value": round(elapsed, 5),
         "unit": "seconds",
-        "vs_baseline": round(35.0 / max(iters, 1), 3) if ok else 0.0,
+        "vs_baseline": round(35.0 / max(niter, 1), 3) if ok else 0.0,
         "extra": {
-            "setup_s": round(t1 - t0, 4),
-            "solve_s": round(t2 - t1, 4),
-            "iters": iters,
+            "reps": REPS,
+            "iters": niter,
             "relres": relres,
             "device": str(jax.devices()[0]),
-            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
-                         else dtype),
+            "dtype": "float64",
         },
     }
     print(json.dumps(result))

@@ -207,6 +207,9 @@ def run_with_refinements(params: Params, dtype=None,
 
 
 def main(argv=None):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print("usage: python -m hymls_tpu.driver <config.xml> "

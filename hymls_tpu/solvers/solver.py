@@ -226,7 +226,9 @@ class Solver:
         else:
             res = self._solve_jit(self.op.vals, factors,
                                   self.precond._dplans, b, x0)
-        self._num_iter = int(res.iters)
+        self._last_result = res   # iteration count read lazily: a device
+        # scalar readback costs a host round trip (expensive over
+        # remote-TPU tunnels)
         x = res.x[:self.op.n] if self._border is not None else res.x
         self._border_coeffs = np.asarray(res.x[self.op.n:]) \
             if self._border is not None else None
@@ -234,4 +236,6 @@ class Solver:
 
     @property
     def num_iter(self) -> int:
+        if getattr(self, "_last_result", None) is not None:
+            return int(self._last_result.iters)
         return self._num_iter

@@ -113,6 +113,8 @@ def run_case(params: Params, dtype=None) -> RunReport:
         with timer.scope("compute"):
             P.compute(Kc if f > 0 else None)
             S.set_matrix(Kc)
+            if params.sublist("Solver").get("Use Deflation", False):
+                S.setup_deflation()
 
         for s in range(num_solves):
             if not read_problem:

@@ -1,0 +1,112 @@
+"""Native (C++) runtime components, built on demand with g++.
+
+The reference's runtime layer (IO, symbolic setup) is native C++;
+these modules provide the equivalents here.  Everything has a pure
+Python fallback, so the package works without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[str]:
+    src = os.path.join(_HERE, "mmio.cpp")
+    so = os.path.join(_HERE, "_mmio.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    try:
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                       check=True, capture_output=True, timeout=120)
+        return so
+    except Exception:
+        return None
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The native library, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is None and not _TRIED:
+            _TRIED = True
+            so = _build()
+            if so:
+                L = ctypes.CDLL(so)
+                L.mm_count.restype = ctypes.c_int
+                L.mm_count.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                L.mm_read.restype = ctypes.c_long
+                L.mm_read.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_long,
+                ]
+                L.mm_read_array.restype = ctypes.c_long
+                L.mm_read_array.argtypes = [
+                    ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+                ]
+                _LIB = L
+        return _LIB
+
+
+def read_matrix_market(path: str):
+    """(csr_matrix | dense ndarray) via the native reader, or None if
+    the native library is unavailable / format unsupported."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    L = lib()
+    if L is None:
+        return None
+    n_rows = ctypes.c_long()
+    n_cols = ctypes.c_long()
+    nnz = ctypes.c_long()
+    symm = ctypes.c_int()
+    patt = ctypes.c_int()
+    ret = L.mm_count(path.encode(), ctypes.byref(n_rows),
+                     ctypes.byref(n_cols), ctypes.byref(nnz),
+                     ctypes.byref(symm), ctypes.byref(patt))
+    if ret == 1:
+        vals = np.empty(n_rows.value * n_cols.value, dtype=np.float64)
+        got = L.mm_read_array(path.encode(),
+                              vals.ctypes.data_as(ctypes.c_void_p),
+                              vals.size)
+        if got != vals.size:
+            return None
+        return vals.reshape((n_cols.value, n_rows.value)).T
+    if ret != 0:
+        return None
+    m = nnz.value
+    rows = np.empty(m, dtype=np.int64)
+    cols = np.empty(m, dtype=np.int64)
+    vals = np.empty(m, dtype=np.float64)
+    got = L.mm_read(path.encode(),
+                    rows.ctypes.data_as(ctypes.c_void_p),
+                    cols.ctypes.data_as(ctypes.c_void_p),
+                    vals.ctypes.data_as(ctypes.c_void_p), m)
+    if got != m:
+        return None
+    if symm.value:
+        off = rows != cols
+        rows = np.concatenate([rows, cols[off]])
+        cols = np.concatenate([cols, rows[:m][off]])
+        vals = np.concatenate([vals, vals[off]])
+    A = sp.coo_matrix((vals, (rows, cols)),
+                      shape=(n_rows.value, n_cols.value)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    return A

@@ -13,7 +13,10 @@ import scipy.sparse as sp
 
 
 def read_matrix(path: str) -> sp.csr_matrix:
-    A = sio.mmread(path)
+    from ..native import read_matrix_market
+    A = read_matrix_market(path)
+    if A is None:
+        A = sio.mmread(path)
     if sp.issparse(A):
         A = A.tocsr()
         A.sum_duplicates()
@@ -26,7 +29,12 @@ def write_matrix(path: str, A) -> None:
 
 
 def read_vector(path: str) -> np.ndarray:
-    v = sio.mmread(path)
+    from ..native import read_matrix_market
+    v = read_matrix_market(path)
+    if v is None:
+        v = sio.mmread(path)
+    if sp.issparse(v):
+        v = v.toarray()
     return np.asarray(v).ravel()
 
 

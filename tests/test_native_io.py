@@ -1,0 +1,36 @@
+"""Native MatrixMarket reader vs scipy (the reference's IO layer is
+native C++; here a ctypes-loaded C++ reader with scipy fallback)."""
+import numpy as np
+import scipy.io as sio
+import scipy.sparse as sp
+import pytest
+
+from hymls_tpu.native import read_matrix_market, lib
+
+
+@pytest.mark.skipif(lib() is None, reason="no C++ toolchain")
+def test_native_reader_matches_scipy(tmp_path):
+    rng = np.random.default_rng(0)
+    A = sp.random(200, 200, density=0.05, random_state=1, format="coo")
+    p = str(tmp_path / "m.mtx")
+    sio.mmwrite(p, A)
+    B = read_matrix_market(p)
+    C = sio.mmread(p).tocsr()
+    assert (B != C).nnz == 0
+
+    v = rng.standard_normal(150)
+    pv = str(tmp_path / "v.mtx")
+    sio.mmwrite(pv, v.reshape(-1, 1))
+    w = read_matrix_market(pv)
+    assert np.allclose(np.asarray(w).ravel(), v)
+
+
+@pytest.mark.skipif(lib() is None, reason="no C++ toolchain")
+def test_native_reader_symmetric(tmp_path):
+    A = sp.random(80, 80, density=0.1, random_state=2, format="coo")
+    A = A + A.T
+    p = str(tmp_path / "s.mtx")
+    sio.mmwrite(p, A, symmetry="symmetric")
+    B = read_matrix_market(p)
+    C = sio.mmread(p).tocsr()
+    assert abs(B - C).max() < 1e-14

@@ -13,10 +13,14 @@ import scipy.sparse as sp
 
 
 def read_matrix(path: str) -> sp.csr_matrix:
-    from ..native import read_matrix_market
-    A = read_matrix_market(path)
-    if A is None:
+    # scipy >= 1.12 ships the C++ fast_matrix_market reader, which is
+    # fastest; the ctypes C++ reader in ..native is the fallback for
+    # environments without it.
+    try:
         A = sio.mmread(path)
+    except Exception:
+        from ..native import read_matrix_market
+        A = read_matrix_market(path)
     if sp.issparse(A):
         A = A.tocsr()
         A.sum_duplicates()
@@ -29,10 +33,11 @@ def write_matrix(path: str, A) -> None:
 
 
 def read_vector(path: str) -> np.ndarray:
-    from ..native import read_matrix_market
-    v = read_matrix_market(path)
-    if v is None:
+    try:
         v = sio.mmread(path)
+    except Exception:
+        from ..native import read_matrix_market
+        v = read_matrix_market(path)
     if sp.issparse(v):
         v = v.toarray()
     return np.asarray(v).ravel()

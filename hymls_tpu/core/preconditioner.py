@@ -509,6 +509,14 @@ class Preconditioner:
             return
 
         for lev in range(self.max_level):
+            if lev > 0:
+                # re-resolve per-level parameters (e.g. 'Retain Nodes at
+                # Level k', reference BasePartitioner::SetParameters) and
+                # keep the geometric separator-length evolution
+                nxt = part.next_level()
+                part = PartitionParams.from_params(self.params, g, level=lev)
+                part.sx, part.sy, part.sz = nxt.sx, nxt.sy, nxt.sz
+                part.cx, part.cy, part.cz = nxt.cx, nxt.cy, nxt.cz
             cart = self._make_partitioner(part)
             sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
             hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
@@ -519,7 +527,6 @@ class Preconditioner:
             self.hierarchies.append(hier)
             nodes = plan.next_nodes
             pattern = plan.next_pattern
-            part = part.next_level()
 
         self.coarse_plan = build_coarse_plan(pattern, nodes, self.fix_gids)
         self._build_device_plans()

@@ -193,3 +193,43 @@ def test_skew_stokes_group_structure(nx, ny, sx):
 
         if num_groups == 14:
             assert total == osx * osy * 2 * 3 + (osx + osx + 1) + (osx + osx)
+
+
+def test_retain_nodes_improves_convergence():
+    """stokes6-style: retaining extra nodes per separator at coarser
+    levels improves multilevel convergence (reference 'Retain Nodes at
+    Level k' parameters)."""
+    import jax.numpy as jnp
+    from hymls_tpu.stencils import create_matrix, create_testvector
+    from hymls_tpu import Preconditioner, Solver
+    nx = 64
+    iters = {}
+    for retain in (False, True):
+        params = Params({
+            "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                        "nx": nx, "ny": nx},
+            "Solver": {"Krylov Method": "GMRES",
+                       "Left or Right Preconditioning": "Right",
+                       "Initial Vector": "Zero",
+                       "Iterative Solver": {"Maximum Iterations": 100,
+                                            "Convergence Tolerance": 1e-6}},
+            "Preconditioner": {"Partitioner": "Skew Cartesian",
+                               "Separator Length": 4,
+                               "Coarsening Factor": 2,
+                               "Number of Levels": 3}})
+        if retain:
+            params.sublist("Preconditioner")["Retain Nodes at Level 1"] = 2
+            params.sublist("Preconditioner")["Retain Nodes at Level 2"] = 4
+        K = create_matrix(params)
+        tv = create_testvector(params, K)
+        P = Preconditioner(K, params, testvector=tv).compute()
+        S = Solver(K, P, params)
+        rng = np.random.default_rng(7)
+        x_ex = rng.standard_normal(K.shape[0])
+        pm = (np.arange(K.shape[0]) % 3) == 2
+        x_ex[pm] -= x_ex[pm].mean()
+        b = K @ x_ex
+        x, res = S.apply_inverse(b)
+        assert bool(res.converged)
+        iters[retain] = int(res.iters)
+    assert iters[True] < iters[False]

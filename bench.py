@@ -3,15 +3,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Problem: 2D Laplace 256^2, 3-level method (the scaled-up version of the
-reference's laplace2 integration benchmark), full f64 accuracy.  The
-reference publishes no absolute wall-clock numbers; its quantitative
-targets are iteration counts, which this run also enforces
-(vs_baseline = target_iters / achieved_iters; >= 1.0 means we meet or
-beat the reference's iteration target).
+Problem: 2D Laplace 256^2, 2-level method, CG to 1e-10 in full f64 —
+the scaled-up version of the reference's laplace2 integration
+benchmark.  The reference publishes no absolute wall-clock numbers;
+its quantitative targets are iteration counts, which this run also
+enforces (vs_baseline = target_iters / achieved_iters; >= 1.0 means
+the reference's iteration target is met or beaten).
 
-Measurement note: the timed region runs REPS factorization+solve
-pairs inside one device computation and blocks once — device->host
+Measurement note: REPS factorization+solve pairs are dispatched
+asynchronously and the device is synced once — per-call device->host
 round trips through remote-TPU tunnels would otherwise dominate and
 measure the tunnel, not the solver.
 """
@@ -22,7 +22,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 # persistent compilation cache: TPU AOT compiles are expensive through
 # the remote tunnel; cache them across runs
@@ -36,7 +35,6 @@ def main():
     from hymls_tpu.config import Params
     from hymls_tpu.stencils import create_matrix, create_testvector
     from hymls_tpu import Preconditioner, Solver
-    from hymls_tpu.solvers import krylov
 
     dtype = jnp.float64
     nx = 256
@@ -57,50 +55,31 @@ def main():
 
     P = Preconditioner(K, params, testvector=tv, dtype=dtype)
     S = Solver(K, P, params, dtype=dtype)
-    P.compute()
 
-    compute_pure = P._compute_pure
+    # warm-up: compile + first factorization/solve
+    P.compute()
+    x, res = S.apply_inverse(b)
+    jax.block_until_ready(x)
+
+    vals0 = jnp.asarray(K.data, dtype=dtype)
+    bj = jnp.asarray(b, dtype=dtype)
+    x0 = jnp.zeros_like(bj)
     dplans = P._dplans
     extra = P._extra_plan
-    apply_fn = P._apply_pure
-    prepare = S.op.prepare
-    mvp = S.op.matvec_prepared
 
-    def setup_and_solve(vals, b):
-        """One Newton-step unit: re-factor + CG solve."""
-        factors = compute_pure(vals, dplans, extra)
-        pv = prepare(vals)
-        res = krylov.cg(lambda x: mvp(pv, x), b, jnp.zeros_like(b),
-                        lambda x: apply_fn(factors, dplans, x),
-                        tol=1e-10, maxiter=100)
-        return res.x, res.iters
-
-    def bench_fn(vals, b):
-        def body(i, carry):
-            acc, it = carry
-            # tiny value perturbation so iterations can't be CSE'd away
-            x, iters = setup_and_solve(vals * (1.0 + 1e-14 * i), b)
-            return acc + x, it + iters
-        acc, iters = lax.fori_loop(0, REPS, body,
-                                   (jnp.zeros_like(b), jnp.array(0)))
-        return acc[0] + 0.0 * jnp.sum(acc), iters
-
-    bench_jit = jax.jit(bench_fn)
-    vals = jnp.asarray(K.data, dtype=dtype)
-    bj = jnp.asarray(b, dtype=dtype)
-
-    # warm-up (compile)
-    out, iters = bench_jit(vals, bj)
-    jax.block_until_ready(out)
-
+    # timed: REPS x (re-factorization + solve), asynchronously
+    # dispatched, one sync at the end
     t0 = time.perf_counter()
-    out, iters = bench_jit(vals, bj)
-    jax.block_until_ready(out)
+    last = None
+    for i in range(REPS):
+        vals = vals0 * (1.0 + 1e-14 * i)
+        factors = P._compute_jit(vals, dplans, extra)
+        r = S._solve_jit(vals, factors, dplans, bj, x0)
+        last = r.x
+    jax.block_until_ready(last)
     elapsed = (time.perf_counter() - t0) / REPS
 
-    # correctness check (outside the timed region)
-    x, res = S.apply_inverse(b)
-    xh = np.asarray(jax.device_get(x))
+    xh = np.asarray(jax.device_get(last))
     relres = float(np.linalg.norm(K @ xh - b) / np.linalg.norm(b))
     niter = int(res.iters)
     ok = relres <= 1e-9 and niter <= 35

@@ -143,7 +143,9 @@ class Solver:
     def setup_deflation(self):
         """Compute the deflation space and correction system (reference
         DeflatedSolver::SetupDeflation; parameters 'Deflated Subspace
-        Dimension' / 'Deflation Threshold' in the 'Solver' list)."""
+        Dimension' / 'Deflation Threshold' in the 'Solver' list).  With
+        a border set, deflation runs on the augmented system (the
+        BorderedDeflatedSolver combination)."""
         slist = self.params.sublist("Solver")
         k = slist.get("Deflated Subspace Dimension", 0)
         if k <= 0:
@@ -151,51 +153,111 @@ class Solver:
         if self.precond._factors is None:
             self.precond.compute()
         self._opT = make_operator(self._K.T.tocsr(), dtype=self.dtype)
-        self._build_projected_solve_placeholder = None
 
-        V = _defl.compute_deflation_space(
-            lambda x: self.precond.apply_inverse(x), self.op.n, k)
+        n = self.op.n
+        m = self._border[0].shape[1] if self._border is not None else 0
+        n_aug = n + m
+
+        if self._border is None:
+            def prec_np(z):
+                return np.asarray(self.precond.apply_inverse(z))
+
+            def mv(z):
+                return np.asarray(self.op(jnp.asarray(z, self.dtype)))
+
+            def mvT(z):
+                return np.asarray(self._opT(jnp.asarray(z, self.dtype)))
+        else:
+            V_b, W_b, C_b = self._border
+
+            def prec_np(z):
+                x, sb = self.precond.apply_inverse_bordered(z[:n], z[n:])
+                return np.concatenate([np.asarray(x), np.asarray(sb)])
+
+            def mv(z):
+                zx = jnp.asarray(z[:n], self.dtype)
+                zs = jnp.asarray(z[n:], self.dtype)
+                y = self.op(zx) + V_b @ zs
+                t = W_b.T @ zx + C_b @ zs
+                return np.concatenate([np.asarray(y), np.asarray(t)])
+
+            def mvT(z):
+                zx = jnp.asarray(z[:n], self.dtype)
+                zs = jnp.asarray(z[n:], self.dtype)
+                y = self._opT(zx) + W_b @ zs
+                t = V_b.T @ zx + C_b.T @ zs
+                return np.concatenate([np.asarray(y), np.asarray(t)])
+
+        V = _defl.compute_deflation_space(prec_np, n_aug, k)
         Vj = jnp.asarray(V, self.dtype)
-        self._build_proj_solve()
+        self._build_proj_solve(aug=self._border is not None)
 
         factors = self.precond.factors
         dplans = self.precond._dplans
 
         def proj_solve(r):
-            res = self._solve_proj_jit(self.op.vals, factors, dplans, Vj,
-                                       jnp.asarray(r, self.dtype))
-            self._num_iter = int(res.iters)
+            args = [self.op.vals, factors, dplans, Vj,
+                    jnp.asarray(r, self.dtype)]
+            if self._border is not None:
+                args.insert(3, self._border)
+            res = self._solve_proj_jit(*args)
             self._last_res = res
             return res.x
 
-        self._deflation = _defl.setup_deflation(
-            V, lambda x: self.op(jnp.asarray(x, self.dtype)),
-            lambda x: self._opT(jnp.asarray(x, self.dtype)), proj_solve)
+        self._deflation = _defl.setup_deflation(V, mv, mvT, proj_solve)
         self._proj_solve = proj_solve
+        self._defl_aug = self._border is not None
         return self
 
-    def _build_proj_solve(self):
-        matvec = self.op.matvec_with
+    def _build_proj_solve(self, aug: bool = False):
         apply_fn, _, _ = self.precond.apply_inverse_fn()
         tol, maxiter = self.tol, self.maxiter
         left = self.lor == "Left"
-
         prepare = self.op.prepare
+        n = self.op.n
 
-        def solve(vals, factors, dplans, V, b):
+        if not aug:
+            def solve(vals, factors, dplans, V, b):
+                pvals = prepare(vals)
+
+                def proj(x):
+                    return x - V @ (V.T @ x)
+
+                def op(x):
+                    return proj(self.op.matvec_prepared(pvals, proj(x)))
+
+                def prec(x):
+                    return proj(apply_fn(factors, dplans, proj(x)))
+
+                return krylov.gmres(op, b, jnp.zeros_like(b), prec,
+                                    tol=tol, maxiter=maxiter, left=left)
+
+            self._solve_proj_jit = jax.jit(solve)
+            return
+
+        bord_fn = self.precond._apply_bordered_pure
+
+        def solve(vals, factors, dplans, border, V, b):
+            Vb, Wb, Cb = border
             pvals = prepare(vals)
 
-            def proj(x):
-                return x - V @ (V.T @ x)
+            def proj(z):
+                return z - V @ (V.T @ z)
 
-            def op(x):
-                return proj(self.op.matvec_prepared(pvals, proj(x)))
+            def op(z):
+                z = proj(z)
+                x, sb = z[:n], z[n:]
+                y = self.op.matvec_prepared(pvals, x) + Vb @ sb
+                t = Wb.T @ x + Cb @ sb
+                return proj(jnp.concatenate([y, t]))
 
-            def prec(x):
-                return proj(apply_fn(factors, dplans, proj(x)))
+            def prec(z):
+                z = proj(z)
+                x, sb = bord_fn(factors, dplans, z[:n], z[n:])
+                return proj(jnp.concatenate([x, sb]))
 
-            return krylov.gmres(op, b, jnp.zeros_like(b), prec, tol=tol,
-                                maxiter=maxiter, left=left)
+            return krylov.gmres(op, b, jnp.zeros_like(b), prec,
+                                tol=tol, maxiter=maxiter, left=left)
 
         self._solve_proj_jit = jax.jit(solve)
 
@@ -204,8 +266,13 @@ class Solver:
         returns (x, KrylovResult).  After a bordered solve the border
         coefficients are available as `self._border_coeffs`."""
         if self._deflation is not None:
-            x = _defl.deflated_apply(self._deflation, np.asarray(b),
+            bz = np.asarray(b)
+            if getattr(self, "_defl_aug", False):
+                m = self._border[0].shape[1]
+                bz = np.concatenate([bz, np.zeros(m)])
+            x = _defl.deflated_apply(self._deflation, bz,
                                      self._proj_solve)
+            x = x[:self.op.n]
             return jnp.asarray(x, self.dtype), self._last_res
         if self._solve_jit is None:
             self._build_solve()

@@ -1,0 +1,44 @@
+"""Solve the reference's own driven-cavity Jacobian datasets (the
+north-star benchmark: cavity.xml + testSuite/data/DrivenCavity).
+Skipped when the reference data is not mounted."""
+import os
+
+import numpy as np
+import pytest
+
+from hymls_tpu.config import Params
+from hymls_tpu.utils.io import read_linear_system
+from hymls_tpu.stencils import create_testvector, create_nullspace
+from hymls_tpu import Preconditioner, Solver
+
+DATA = "/root/reference/testSuite/data/DrivenCavity"
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference data absent")
+@pytest.mark.parametrize("size,re,nx", [("32x32", "Re0", 32),
+                                        ("32x32", "Re1000", 32)])
+def test_reference_cavity(size, re, nx):
+    K, b, x_ex, ns, mass = read_linear_system(f"{DATA}/{size}/{re}")
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Driver": {"Null Space Type": "Constant P"},
+        "Solver": {"Krylov Method": "GMRES", "Initial Vector": "Zero",
+                   "Iterative Solver": {"Maximum Iterations": 250,
+                                        "Convergence Tolerance": 1e-12}},
+        "Preconditioner": {"Partitioner": "Cartesian",
+                           "Fix Pressure Level": False,
+                           "Separator Length": 4, "Number of Levels": 1}})
+    if ns is None:
+        ns = create_nullspace(params, K.shape[0])
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv)
+    S = Solver(K, P, params)
+    S.set_border(ns)
+    P.compute()
+    x, res = S.apply_inverse(b)
+    x = np.asarray(x)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert int(res.iters) <= 250   # cavity.xml target
+    assert relres < 1e-10

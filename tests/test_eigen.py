@@ -56,3 +56,26 @@ def test_shift_invert_eigs():
         return_eigenvectors=False))))
     got = np.sort(np.abs(np.real(res.values)))
     assert np.abs(got - ref).max() < 1e-8
+
+
+def test_jdqr_generalized():
+    """Generalized eigenproblem K x = lambda M x with a (scaled
+    lumped-mass) M; reference main_eigs path."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    K, params, P = _setup(nx=16)
+    n = K.shape[0]
+    rng = np.random.default_rng(4)
+    M = sp.diags(1.0 + 0.5 * rng.random(n)).tocsr()
+    jd = JDQR(K, M, P, params)
+    jd.how_many = 6
+    res = jd.solve()
+    assert res.converged >= 6
+    ref = spla.eigs(K.asfptype(), k=6, M=M.asfptype(), sigma=0,
+                    which="LM", return_eigenvectors=False)
+    ref = np.sort(np.abs(np.real(ref)))
+    got = np.sort(np.abs(res.values))[:6]
+    # generalized deflation uses orthogonal (not M-orthogonal) locking;
+    # eigenvalue accuracy ~residual*cond (proper pencil Schur deflation
+    # is round-2 backlog)
+    assert np.abs(got - ref[:len(got)]).max() < 1e-4

@@ -55,14 +55,15 @@ def _on_accelerator() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _inv(A, refine: int = 2):
+def _inv(A, refine: int = 1):
     """(Batched) dense inverse.
 
     TPU has no f64 LU (XLA LuDecomposition supports F32/C64 only), so in
     f64 on an accelerator we factor in f32 and Newton-refine the inverse
     in f64 — X <- X(2I - AX) — which needs only matmuls and converges
-    quadratically (1e-7 -> 1e-14 in two steps).  On CPU (and in f32)
-    this is a plain LAPACK/XLA inverse."""
+    quadratically (1e-7 -> ~1e-13 in one step; iteration counts are
+    insensitive to factor precision, verified in tests).  On CPU (and
+    in f32) this is a plain LAPACK/XLA inverse."""
     if A.dtype == jnp.float64 and _on_accelerator():
         X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
         eye = jnp.eye(A.shape[-1], dtype=jnp.float64)

@@ -168,6 +168,13 @@ def run_case(params: Params, dtype=None) -> RunReport:
             report.check(relerr <= t_err,
                          f"relerr {relerr:.3e} > target {t_err:g}")
 
+    # optional dumps (reference 'Store Solution'/'Store Matrix' flags,
+    # src/main.cpp:129-131,484-490)
+    if driver.get("Store Matrix", False):
+        hio.write_matrix("matrix_dump.mtx", K)
+    if driver.get("Store Solution", False) and report.solves:
+        hio.write_vector("solution_dump.mtx", x)
+
     # eigenvalue computation (reference main_eigs / testEigenSolver)
     if driver.is_sublist("Eigenvalues"):
         from .solvers.eigen import JDQR

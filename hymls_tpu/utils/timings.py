@@ -48,3 +48,21 @@ class Timer:
 
     def print_report(self):
         print(self.report())
+
+
+def device_memory_report() -> str:
+    """Per-device live-buffer memory (the role of the reference's
+    LD-interposed malloc ledger, src/HYMLS_Malloc.cpp +
+    Tools::PrintMemUsage)."""
+    import jax
+    lines = []
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+            used = stats.get("bytes_in_use", 0)
+            peak = stats.get("peak_bytes_in_use", 0)
+            lines.append(f"  {d}: in use {used/1e6:.1f} MB, "
+                         f"peak {peak/1e6:.1f} MB")
+        except Exception:
+            lines.append(f"  {d}: no memory stats")
+    return "Device memory:\n" + "\n".join(lines)

@@ -82,3 +82,30 @@ def test_gmres_complex_consistency():
     x_c, _ = CS.apply_inverse(b.astype(np.complex128))
     assert np.linalg.norm(np.asarray(x_c) - np.asarray(x_r)) \
         / np.linalg.norm(np.asarray(x_r)) < 1e-9
+
+
+def test_mixed_precision_preconditioner():
+    """f32 preconditioner inside an f64 Krylov iteration: iteration
+    count must match the all-f64 solve (preconditioner quality is
+    insensitive to factor precision) while the Krylov residual still
+    reaches f64-level tolerance."""
+    import jax.numpy as jnp
+    from hymls_tpu.stencils import laplace2d
+    K = laplace2d(32, 32)
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "CG", "Initial Vector": "Random",
+                   "Iterative Solver": {"Maximum Iterations": 100,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 1},
+    })
+    P32 = Preconditioner(K, params, dtype=jnp.float32).compute()
+    S = Solver(K, P32, params, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    x_ex = rng.standard_normal(K.shape[0])
+    b = K @ x_ex
+    x, res = S.apply_inverse(b)
+    relres = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert int(res.iters) == 21      # same as the all-f64 solve
+    assert relres < 1e-9             # f64-level accuracy

@@ -409,7 +409,12 @@ def build_level_plan(level: int,
     sc_lookup = sc_pat.copy()
 
     blocks: List[np.ndarray] = []
-    if apply_dropping and variant == "Domain Decomposition":
+    if apply_dropping and variant == "Do Nothing":
+        # reference clears the block solvers for this variant
+        # (HYMLS_SchurPreconditioner.cpp:250-253): the non-Vsum part of
+        # the preconditioned vector is left at zero.
+        pass
+    elif apply_dropping and variant == "Domain Decomposition":
         # one solver for all non-Vsum nodes (reference
         # InitializeSingleBlock, HYMLS_SchurPreconditioner.cpp:342-382)
         locs = [group_locs[gi][1:] for gi in range(n_groups)
@@ -417,6 +422,15 @@ def build_level_plan(level: int,
         if locs:
             blocks.append(np.concatenate(locs))
     else:
+        # 'Block Diagonal', 'Lower Triangular' and 'Upper Triangular'
+        # all use the linked-set blocks.  The reference's triangular
+        # sweeps (HYMLS_SchurPreconditioner.cpp:1054-1066,1374-1433)
+        # run B - S*Y block by block against the transformed+DROPPED
+        # matrix, whose non-Vsum rows only retain couplings inside
+        # their own linked set (plus Vsum columns, which are zero
+        # during the sweep) -- so on the retained pattern the sweeps
+        # are numerically identical to the block-diagonal apply, and
+        # we batch all blocks on the MXU instead of serialising them.
         for lset in (hier.linked_sets if apply_dropping else []):
             locs = [group_locs[gi][1:] for gi in lset
                     if groups[gi].nodes.size > 1]

@@ -109,3 +109,35 @@ def test_mixed_precision_preconditioner():
     relres = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
     assert int(res.iters) == 21      # same as the all-f64 solve
     assert relres < 1e-9             # f64-level accuracy
+
+
+def test_preconditioner_variants_equivalent():
+    """'Lower Triangular' / 'Upper Triangular' / 'Domain Decomposition'
+    must produce the same preconditioned vector as 'Block Diagonal':
+    the reference's triangular sweeps operate on the transformed+dropped
+    matrix whose inter-block couplings are dropped (see plan.py)."""
+    from hymls_tpu.stencils import create_matrix
+    nx = 16
+    base = {
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Preconditioner": {"Partitioner": "Skew Cartesian",
+                           "Separator Length": 4, "Number of Levels": 1},
+    }
+    params = Params(base)
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(K.shape[0])
+
+    ref = None
+    for variant in ["Block Diagonal", "Lower Triangular",
+                    "Upper Triangular"]:
+        p = Params(base)
+        p.sublist("Preconditioner")["Preconditioner Variant"] = variant
+        P = Preconditioner(K, p, testvector=tv).compute()
+        y = np.asarray(P.apply_inverse(b))
+        if ref is None:
+            ref = y
+        else:
+            assert np.allclose(y, ref, rtol=0, atol=1e-12), variant

@@ -155,7 +155,41 @@ def laplace2d_neumann(nx, ny) -> sp.csr_matrix:
 
 
 def laplace3d_neumann(nx, ny, nz) -> sp.csr_matrix:
+    """7-point Neumann Laplacian (reference GaleriExt_Cross3DN.h)."""
     return -_cross3d(nx, ny, nz, 6.0, -1.0, NO_PERIO, neumann=True)
+
+
+def star3d(nx, ny, nz, a, b, c, d, perio=NO_PERIO) -> sp.csr_matrix:
+    """27-point stencil: center a, face-neighbours b, edge-neighbours
+    c, corner-neighbours d (reference GaleriExt_Star3D.h:40-200;
+    Dirichlet by omission, optional periodic wrap)."""
+    left, right, lower, upper, below, above = _neighbors3d(nx, ny, nz, perio)
+    idx = np.arange(nx * ny * nz)
+    n = idx.size
+    coo = _Coo()
+    coo.add(idx, idx, np.full(n, float(a)))
+
+    def compose(n1, n2):
+        """neighbour-of-neighbour with boundary propagation (-1)."""
+        valid = n1 >= 0
+        out = np.where(valid, n2[np.clip(n1, 0, n - 1)], -1)
+        return np.where((n1 >= 0) & (out >= 0), out, -1)
+
+    x = (left, right)
+    y = (lower, upper)
+    z = (below, above)
+    for nb in x + y + z:                      # 6 faces
+        coo.add(idx, nb, np.full(n, float(b)))
+    for pair in ((x, y), (x, z), (y, z)):     # 12 edges
+        for n1 in pair[0]:
+            for n2 in pair[1]:
+                coo.add(idx, compose(n1, n2), np.full(n, float(c)))
+    for n1 in x:                              # 8 corners
+        for n2 in y:
+            for n3 in z:
+                coo.add(idx, compose(compose(n1, n2), n3),
+                        np.full(n, float(d)))
+    return coo.tocsr(n)
 
 
 # ---------------------------------------------------------------------------

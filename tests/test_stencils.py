@@ -126,3 +126,16 @@ def test_testvector_zeroes_dirichlet_rows():
     # interior u
     g = (3 + 3 * nx) * dof + 0
     assert tv[g] == 1.0
+
+
+def test_star3d():
+    """27-point stencil (reference GaleriExt_Star3D.h: center a,
+    faces b, edges c, corners d; Dirichlet by omission)."""
+    from hymls_tpu.stencils import star3d
+    A = star3d(4, 4, 4, 26.0, -1.0, -1.0, -1.0)
+    i = 1 + 4 * 1 + 16 * 1
+    row = A[i].toarray().ravel()
+    assert (row != 0).sum() == 27
+    assert abs(row.sum()) < 1e-14       # zero row sum in the interior
+    assert (A[0].toarray() != 0).sum() == 8   # corner: 7 nbrs + center
+    assert abs(A - A.T).max() == 0.0

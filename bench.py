@@ -68,19 +68,23 @@ def main():
     jax.block_until_ready(x)
 
     vals0 = jnp.asarray(K.data, dtype=dtype)
+    pvals0 = jnp.asarray(K.data, dtype=pdtype)   # factorization input
     bj = jnp.asarray(b, dtype=dtype)
     x0 = jnp.zeros_like(bj)
     dplans = P._dplans
     extra = P._extra_plan
 
     # timed: REPS x (re-factorization + solve), asynchronously
-    # dispatched, one sync at the end
+    # dispatched, one sync at the end.  NOTE: the compute jit must get
+    # pdtype values — passing f64 would silently retrace the whole
+    # factorization in emulated f64.
     t0 = time.perf_counter()
     last = None
     for i in range(REPS):
-        vals = vals0 * (1.0 + 1e-14 * i)
-        factors = P._compute_jit(vals, dplans, extra)
-        r = S._solve_jit(vals, factors, dplans, bj, x0)
+        scale = 1.0 + 1e-14 * i
+        factors = P._compute_jit(pvals0 * jnp.asarray(scale, pdtype),
+                                 dplans, extra)
+        r = S._solve_jit(vals0 * scale, factors, dplans, bj, x0)
         last = r.x
     jax.block_until_ready(last)
     elapsed = (time.perf_counter() - t0) / REPS

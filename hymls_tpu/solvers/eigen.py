@@ -100,24 +100,32 @@ class JDQR:
         matvecM = self.opM.matvec_with if self.opM is not None else None
         inner = self.inner_iters
 
-        def corr(valsK, valsM, factors, dplans, Q, r, theta):
-            """Solve (I-QQ')(K - theta M)(I-QQ') t = -r with projected,
-            preconditioned GMRES.  Q: (n, max_lock+1) zero-padded basis
-            including the current Ritz vector."""
-            def proj(x):
-                return x - Q @ (Q.T @ x)
+        def corr(valsK, valsM, factors, dplans, Q, MQ, r, theta):
+            """Solve the deflated correction equation
+            (I-MQ Q')(K - theta M)(I-Q Q'M) t = -r with preconditioned
+            GMRES.  Q: (n, max_lock+1) zero-padded M-orthonormal basis
+            (Q'MQ = I) including the current Ritz vector; MQ = M @ Q.
+            For M = I this is the standard JDQR projection; for a
+            pencil it is the proper oblique (partial generalized Schur)
+            deflation — cf. the phist subspacejada deflation the
+            reference uses (src/AnasaziPhistSolMgr.hpp:40-60)."""
+            def proj_r(x):          # right: x - Q (Q'M x)
+                return x - Q @ (MQ.T @ x)
+
+            def proj_l(y):          # left: y - MQ (Q'y)
+                return y - MQ @ (Q.T @ y)
 
             def op(x):
-                x = proj(x)
+                x = proj_r(x)
                 y = matvecK(valsK, x)
                 if matvecM is not None:
                     y = y - theta * matvecM(valsM, x)
                 else:
                     y = y - theta * x
-                return proj(y)
+                return proj_l(y)
 
             def prec(x):
-                return proj(apply_fn(factors, dplans, proj(x)))
+                return proj_r(apply_fn(factors, dplans, proj_l(x)))
 
             res = krylov.gmres(op, -r, jnp.zeros_like(r), prec, tol=1e-3,
                                maxiter=inner)
@@ -135,18 +143,41 @@ class JDQR:
 
         Kx = lambda x: np.asarray(self.opK(jnp.asarray(x, self.dtype)))
         Mx = (lambda x: np.asarray(self.opM(jnp.asarray(x, self.dtype)))) \
-            if self.opM is not None else (lambda x: x)
+            if self.opM is not None else (lambda x: np.array(x, copy=True))
+
+        locked_Q: List[np.ndarray] = []    # Q' M Q = I
+        locked_MQ: List[np.ndarray] = []   # M @ Q columns
+        locked_vals: List[float] = []
+        res_hist: List[float] = []
+
+        def m_orthonormalize(cols, Vs=None, MVs=None):
+            """M-orthonormal basis (and its M-image) from the columns
+            of `cols`, kept M-orthogonal to the locked vectors and to
+            the optional existing basis Vs (CGS2)."""
+            Vs = [] if Vs is None else list(Vs)
+            MVs = [] if MVs is None else list(MVs)
+            n0 = len(Vs)
+            for j in range(cols.shape[1]):
+                t = np.array(cols[:, j])
+                for _ in range(2):
+                    for q, mq in zip(locked_Q, locked_MQ):
+                        t -= q * (mq @ t)
+                    for q, mq in zip(Vs, MVs):
+                        t -= q * (mq @ t)
+                Mt = Mx(t)
+                tn = float(np.sqrt(abs(t @ Mt)))
+                if tn < 1e-10:
+                    continue
+                Vs.append(t / tn)
+                MVs.append(Mt / tn)
+            return Vs[n0:], MVs[n0:]
 
         rng = np.random.default_rng(31)
         v = v0 if v0 is not None else rng.standard_normal(n)
-        v = v / np.linalg.norm(v)
-        V = v[:, None]
-        KV = Kx(v)[:, None]
-        MV = Mx(v)[:, None]
-
-        locked_Q: List[np.ndarray] = []
-        locked_vals: List[float] = []
-        res_hist: List[float] = []
+        Vs, MVs = m_orthonormalize(np.asarray(v, float)[:, None])
+        V = np.column_stack(Vs)
+        MV = np.column_stack(MVs)
+        KV = Kx(V[:, 0])[:, None]
 
         valsM = self.opM.vals if self.opM is not None else \
             jnp.zeros((0,), dtype=self.dtype)
@@ -156,96 +187,85 @@ class JDQR:
         it = 0
         while it < self.max_iter and len(locked_vals) < k_want:
             it += 1
+            # V is M-orthonormal, so the projected pencil is (H, I)
             H = V.T @ KV
-            G = V.T @ MV
-            w, Y = sla.eig(H, G)
+            w, Y = sla.eig(H)
             # select Ritz value: nearest target / smallest magnitude
             if self.which == "LM":
                 order = np.argsort(-np.abs(w))
             else:
                 order = np.argsort(np.abs(w - self.target))
-            # skip Ritz directions too close to locked values? rely on
-            # deflation via projection instead.
-            theta = w[order[0]]
-            y = Y[:, order[0]]
-            if abs(theta.imag) < 1e-12 * (1 + abs(theta.real)):
-                theta = theta.real
-                y = y.real
-            else:
-                # real part of the complex Ritz vector (real JDQR
-                # handles conjugate pairs through the real Schur form)
-                theta = theta.real
-                y = y.real
+            theta = w[order[0]].real
+            # real part of the complex Ritz vector (real JDQR handles
+            # conjugate pairs through the real Schur form)
+            y = Y[:, order[0]].real
             y = y / np.linalg.norm(y)
             u = V @ y
-            u /= np.linalg.norm(u)
-            r = Kx(u) - theta * Mx(u)
-            # deflate locked directions from the residual
-            for q in locked_Q:
-                r -= q * (q @ r)
+            Mu = MV @ y
+            un = float(np.sqrt(abs(u @ Mu)))
+            u /= un
+            Mu /= un
+            r = Kx(u) - theta * Mu
+            # oblique deflation of the locked pairs: r <- (I - MQ Q') r
+            for q, mq in zip(locked_Q, locked_MQ):
+                r -= mq * (q @ r)
             rn = np.linalg.norm(r)
             res_hist.append(rn)
 
             if rn < self.tol:
                 locked_Q.append(u)
+                locked_MQ.append(Mu)
                 locked_vals.append(theta)
-                # remove u from the search space
-                Vp = V - u[:, None] * (u @ V)[None, :]
-                Q_, _ = np.linalg.qr(Vp)
-                keep = min(V.shape[1] - 1, Q_.shape[1])
+                # purge u from the search space, keep M-orthonormality
+                Vp = V - u[:, None] * (Mu @ V)[None, :]
+                Vs, MVs = m_orthonormalize(Vp)
+                keep = min(V.shape[1] - 1, len(Vs))
                 if keep < 1:
-                    v = rng.standard_normal(n)
-                    for q in locked_Q:
-                        v -= q * (q @ v)
-                    v /= np.linalg.norm(v)
-                    V = v[:, None]
-                else:
-                    V = Q_[:, :keep]
+                    Vs, MVs = m_orthonormalize(
+                        rng.standard_normal((n, 1)))
+                    keep = 1
+                V = np.column_stack(Vs[:keep])
+                MV = np.column_stack(MVs[:keep])
                 KV = np.column_stack([Kx(V[:, j])
-                                      for j in range(V.shape[1])])
-                MV = np.column_stack([Mx(V[:, j])
                                       for j in range(V.shape[1])])
                 continue
 
-            # correction equation, projected against locked + current
+            # correction equation, obliquely deflated against locked+u
             Qfull = np.zeros((n, self._max_lock + 1))
-            for j, q in enumerate(locked_Q[:self._max_lock]):
+            MQfull = np.zeros((n, self._max_lock + 1))
+            for j, (q, mq) in enumerate(zip(locked_Q[:self._max_lock],
+                                            locked_MQ[:self._max_lock])):
                 Qfull[:, j] = q
-            Qfull[:, min(len(locked_Q), self._max_lock)] = u
+                MQfull[:, j] = mq
+            jcur = min(len(locked_Q), self._max_lock)
+            Qfull[:, jcur] = u
+            MQfull[:, jcur] = Mu
             t = np.array(self._corr_jit(
                 self.opK.vals, valsM, factors, dplans,
-                jnp.asarray(Qfull, self.dtype), jnp.asarray(r, self.dtype),
+                jnp.asarray(Qfull, self.dtype),
+                jnp.asarray(MQfull, self.dtype),
+                jnp.asarray(r, self.dtype),
                 jnp.asarray(theta, self.dtype)))
-
-            # orthogonalize against V and locked, expand
-            for q in locked_Q:
-                t -= q * (q @ t)
-            t -= V @ (V.T @ t)
-            t -= V @ (V.T @ t)
-            tn = np.linalg.norm(t)
-            if tn < 1e-12:
-                t = rng.standard_normal(n)
-                for q in locked_Q:
-                    t -= q * (q @ t)
-                t -= V @ (V.T @ t)
-                tn = np.linalg.norm(t)
-            t /= tn
 
             if V.shape[1] >= self.max_subspace:
                 # restart with the best Ritz vectors
-                keep = self.restart_dim
-                idx = order[:keep]
-                Vr = V @ Y[:, idx].real
-                Q_, _ = np.linalg.qr(Vr)
-                V = Q_
+                idx = order[:self.restart_dim]
+                Vs, MVs = m_orthonormalize(V @ Y[:, idx].real)
+                V = np.column_stack(Vs)
+                MV = np.column_stack(MVs)
                 KV = np.column_stack([Kx(V[:, j])
                                       for j in range(V.shape[1])])
-                MV = np.column_stack([Mx(V[:, j])
-                                      for j in range(V.shape[1])])
 
-            V = np.column_stack([V, t])
-            KV = np.column_stack([KV, Kx(t)])
-            MV = np.column_stack([MV, Mx(t)])
+            # expand with the M-orthonormalized correction
+            Vs, MVs = m_orthonormalize(t[:, None], Vs=list(V.T),
+                                       MVs=list(MV.T))
+            if not Vs:
+                Vs, MVs = m_orthonormalize(
+                    rng.standard_normal((n, 1)), Vs=list(V.T),
+                    MVs=list(MV.T))
+            V = np.column_stack([V, Vs[0]])
+            MV = np.column_stack([MV, MVs[0]])
+            KV = np.column_stack([KV, Kx(Vs[0])])
 
         vals = np.array(locked_vals)
         vecs = np.column_stack(locked_Q) if locked_Q else np.zeros((n, 0))

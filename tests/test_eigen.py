@@ -75,7 +75,9 @@ def test_jdqr_generalized():
                     which="LM", return_eigenvectors=False)
     ref = np.sort(np.abs(np.real(ref)))
     got = np.sort(np.abs(res.values))[:6]
-    # generalized deflation uses orthogonal (not M-orthogonal) locking;
-    # eigenvalue accuracy ~residual*cond (proper pencil Schur deflation
-    # is round-2 backlog)
-    assert np.abs(got - ref[:len(got)]).max() < 1e-4
+    # M-orthogonal locking + oblique deflation: full accuracy
+    assert np.abs(got - ref[:len(got)]).max() < 1e-8
+    for j in range(6):
+        u = res.vectors[:, j]
+        lam = res.values[j]
+        assert np.linalg.norm(K @ u - lam * (M @ u)) < 1e-7

@@ -215,6 +215,67 @@ def run_with_refinements(params: Params, dtype=None,
     return reports
 
 
+def run_comparison(params: Params) -> SolveReport:
+    """Solve the same system with a conventional one-level
+    preconditioner for comparison (the role of the reference's
+    main_ifpack driver, src/main_ifpack.cpp:111,207-222, which runs
+    Ifpack ILU or ML AMG instead of HYMLS).  'Driver' ->
+    'Preconditioning Method' selects 'ILU' (default), 'Jacobi' or
+    'None'; this is a host-side reference path (scipy), not a TPU
+    production path."""
+    import time as _time
+    import scipy.sparse.linalg as spla
+
+    driver = params.sublist("Driver")
+    method = driver.get("Preconditioning Method", "ILU")
+    slist = params.sublist("Solver")
+    it = slist.sublist("Iterative Solver")
+    maxiter = it.get("Maximum Iterations", 500)
+    tol = it.get("Convergence Tolerance", 1e-8)
+
+    K, b, x_ex, ns = get_linear_system(params)
+    n = K.shape[0]
+    rng = np.random.default_rng(42)
+    if b is None:
+        x_ex = rng.standard_normal(n)
+        b = K @ x_ex
+
+    t0 = _time.perf_counter()
+    if method == "ILU":
+        ilu_list = driver.sublist("Ifpack")
+        ilu = spla.spilu(K.tocsc(),
+                         drop_tol=ilu_list.get("Drop Tolerance", 0.0),
+                         fill_factor=ilu_list.get("Fill Factor", 10.0))
+        M = spla.LinearOperator((n, n), matvec=ilu.solve)
+    elif method == "Jacobi":
+        d = K.diagonal()
+        d = np.where(np.abs(d) > 1e-300, d, 1.0)
+        M = spla.LinearOperator((n, n), matvec=lambda x: x / d)
+    elif method == "None":
+        M = None
+    else:
+        raise ValueError(f"unknown Preconditioning Method {method!r}")
+    compute_time = _time.perf_counter() - t0
+
+    iters = 0
+
+    def cb(_):
+        nonlocal iters
+        iters += 1
+
+    t0 = _time.perf_counter()
+    x, info = spla.gmres(K, b, rtol=tol, maxiter=maxiter, M=M,
+                         restart=min(maxiter, 200), callback=cb,
+                         callback_type="pr_norm")
+    solve_time = _time.perf_counter() - t0
+    relres = float(np.linalg.norm(K @ x - b) / np.linalg.norm(b))
+    relerr = float(np.linalg.norm(x - x_ex) / np.linalg.norm(x_ex)) \
+        if x_ex is not None else float("nan")
+    return SolveReport(iters=iters, relres=relres, relerr=relerr,
+                       converged=(info == 0), setup_time=0.0,
+                       compute_time=compute_time, solve_time=solve_time)
+
+
 def main(argv=None):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")

@@ -50,6 +50,7 @@ class IterativeRefinementSolver:
                              dtype=jnp.float32)
         self.op64 = make_operator(K, dtype=jnp.float64)
         self._num_iter = 0
+        self._fused_jit = None
 
     def compute(self, K: Optional[sp.csr_matrix] = None):
         self.precond.compute(K)
@@ -61,6 +62,82 @@ class IterativeRefinementSolver:
     def set_border(self, V, W=None, C=None):
         self.solver.set_border(V, W, C)
         return self
+
+    def _build_fused(self):
+        """One jitted program for the whole refinement loop: f64
+        residual -> f32 Krylov correction -> f64 update, repeated under
+        lax.while_loop.  No host round trips — essential over remote-TPU
+        tunnels where every device->host sync costs ~0.5s."""
+        from . import krylov
+        import jax.lax as lax
+
+        if self.precond._factors is None:
+            self.precond.compute()
+        apply_fn, _, _ = self.precond.apply_inverse_fn()
+        slist = self.params.sublist("Solver")
+        method = slist.get("Krylov Method", "GMRES")
+        it = slist.sublist("Iterative Solver")
+        maxiter = it.get("Maximum Iterations", 100)
+        inner_tol = self.inner_tol
+        tol = self.tol
+        max_passes = self.max_passes
+        prep64 = self.op64.prepare
+        mv64 = self.op64.matvec_prepared
+        prep32 = self.solver.op.prepare
+        mv32 = self.solver.op.matvec_prepared
+
+        def fused(vals64, vals32, factors, dplans, b):
+            pv64 = prep64(vals64)
+            pv32 = prep32(vals32)
+            nb = jnp.linalg.norm(b)
+            nb = jnp.where(nb > 0, nb, 1.0)
+
+            def inner(r32):
+                def op(x):
+                    return mv32(pv32, x)
+
+                def prec(x):
+                    return apply_fn(factors, dplans, x)
+
+                if method == "CG":
+                    return krylov.cg(op, r32, jnp.zeros_like(r32), prec,
+                                     tol=inner_tol, maxiter=maxiter)
+                return krylov.gmres(op, r32, jnp.zeros_like(r32), prec,
+                                    tol=inner_tol, maxiter=maxiter)
+
+            def cond(state):
+                x, r, rel, iters, np_ = state
+                return (rel > tol) & (np_ < max_passes)
+
+            def body(state):
+                x, r, rel, iters, np_ = state
+                res = inner(r.astype(jnp.float32))
+                x = x + res.x.astype(jnp.float64)
+                r = b - mv64(pv64, x)
+                rel = jnp.linalg.norm(r) / nb
+                return (x, r, rel, iters + res.iters, np_ + 1)
+
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            rel0 = jnp.linalg.norm(r0) / nb
+            x, r, rel, iters, np_ = lax.while_loop(
+                cond, body, (x0, r0, rel0, jnp.asarray(0), 0))
+            return KrylovResult(x=x, iters=iters, relres=rel,
+                                converged=rel <= tol)
+
+        self._fused_jit = jax.jit(fused)
+
+    def solve(self, b):
+        """Fused on-device refinement solve; returns x (see
+        apply_inverse for the host-loop variant with per-pass
+        diagnostics)."""
+        if self._fused_jit is None:
+            self._build_fused()
+        res = self._fused_jit(self.op64.vals, self.solver.op.vals,
+                              self.precond.factors, self.precond._dplans,
+                              jnp.asarray(b, jnp.float64))
+        self._last_result = res
+        return res.x
 
     def apply_inverse(self, b):
         b64 = jnp.asarray(b, jnp.float64)

@@ -236,24 +236,14 @@ def build_level_plan(level: int,
     lookup = CsrLookup(pattern)
 
     def block_idx(rows_list, cols_list, nr, nc):
-        out = np.full((n_sd, nr, nc), nnz, dtype=np.int64)
-        qr, qc, meta = [], [], []
-        for sd in range(n_sd):
-            r = rows_list[sd]
-            c = cols_list[sd]
-            if r.size == 0 or c.size == 0:
-                continue
-            qr.append(np.repeat(r, c.size))
-            qc.append(np.tile(c, r.size))
-            meta.append((sd, r.size, c.size))
-        if not qr:
-            return out
-        ids = lookup.query(np.concatenate(qr), np.concatenate(qc))
-        off = 0
-        for sd, nr_, nc_ in meta:
-            out[sd, :nr_, :nc_] = ids[off:off + nr_ * nc_].reshape(nr_, nc_)
-            off += nr_ * nc_
-        return out
+        # padded batched lookup: out-of-range row/col sentinels make the
+        # query miss and map to the nnz (zero) slot
+        fill = pattern.shape[0]
+        R = _pad2(rows_list, nr, fill) if rows_list else \
+            np.full((n_sd, nr), fill, dtype=np.int64)
+        C = _pad2(cols_list, nc, fill) if cols_list else \
+            np.full((n_sd, nc), fill, dtype=np.int64)
+        return lookup.query(R[:, :, None], C[:, None, :])
 
     sep_nlocs_arr = sep_nlocs_sd
     A11_idx = block_idx(int_locs, int_locs, ni, ni)

@@ -202,7 +202,40 @@ class CartesianPartitioner:
         interior group, separator groups, and retained pressure nodes
         (reference HYMLS_CartesianPartitioner.cpp:265-408).  Candidate
         GIDs may include nodes absent from the current level's active
-        set; the Hierarchy filters them afterwards."""
+        set; the Hierarchy filters them afterwards.
+
+        Non-periodic grids are translation invariant: subdomains with
+        the same extents and boundary adjacency have identical group
+        structure up to an additive GID shift, so results are memoized
+        by that signature (most subdomains share one entry)."""
+        g = self.grid
+        if g.perio:
+            return self._get_groups_impl(sd)
+        p = self.p
+        xpos, ypos, zpos = self.position(sd)
+        xmax = min(g.nx - xpos - 1, p.sx - 1)
+        ymax = min(g.ny - ypos - 1, p.sy - 1)
+        zmax = min(g.nz - zpos - 1, p.sz - 1)
+        key = (xmax, ymax, zmax, xpos == 0, ypos == 0, zpos == 0,
+               xpos + xmax + 1 == g.nx, ypos + ymax + 1 == g.ny,
+               zpos + zmax + 1 == g.nz)
+        base = g.dof * (xpos + g.nx * (ypos + g.ny * zpos))
+        cache = getattr(self, "_group_cache", None)
+        if cache is None:
+            cache = self._group_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            res = self._get_groups_impl(sd)
+            cache[key] = (base, res)
+            return res
+        base0, res0 = hit
+        d = base - base0
+        return SubdomainGroups(
+            interior=res0.interior + d,
+            separators=[SepGroup(nodes=s.nodes + d, type=s.type)
+                        for s in res0.separators])
+
+    def _get_groups_impl(self, sd: int) -> SubdomainGroups:
         g = self.grid
         p = self.p
         xpos, ypos, zpos = self.position(sd)
@@ -243,14 +276,16 @@ class CartesianPartitioner:
                         continue
                     itype, istart, iend = se
 
-                    # node gids of this cell, i fastest (scan order)
-                    kk, jj, ii = np.meshgrid(
-                        np.arange(kstart, kend), np.arange(jstart, jend),
-                        np.arange(istart, iend), indexing="ij")
-                    gi = (ii.ravel() + xpos) % g.nx
-                    gj = (jj.ravel() + ypos) % g.ny
-                    gk = (kk.ravel() + zpos) % g.nz
-                    node_base = dof * (gi + g.nx * (gj + g.ny * gk))
+                    # node gids of this cell, i fastest (scan order);
+                    # broadcasting instead of meshgrid — this runs per
+                    # cell per subdomain and dominates setup otherwise
+                    gi = (np.arange(istart, iend) + xpos) % g.nx
+                    gj = (np.arange(jstart, jend) + ypos) % g.ny
+                    gk = (np.arange(kstart, kend) + zpos) % g.nz
+                    node_base = (dof * (gi[None, None, :]
+                                        + g.nx * (gj[None, :, None]
+                                                  + g.ny * gk[:, None, None]))
+                                 ).ravel()
 
                     for d in range(dof):
                         vt = g.var_types[d]
@@ -291,9 +326,15 @@ class CartesianPartitioner:
                                 gtype += 2 * d
                             if p.bgrid:
                                 # split by xy parity (B-grid; reference
-                                # nodes2 handling)
-                                par = (ii.ravel() + xpos
-                                       + jj.ravel() + ypos) % 2
+                                # nodes2 handling); parity uses the
+                                # unwrapped (pre-periodic) coordinates
+                                pi = np.arange(istart, iend) + xpos
+                                pj = np.arange(jstart, jend) + ypos
+                                par = np.broadcast_to(
+                                    (pi[None, None, :] + pj[None, :, None])
+                                    % 2,
+                                    (kend - kstart, pj.size, pi.size)
+                                ).ravel()
                                 if gids.size != par.size:
                                     par = par[-gids.size:]
                                 g_even = gids[par == 0]

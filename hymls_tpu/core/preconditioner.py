@@ -379,7 +379,8 @@ class DirectSCPlan:
     fix_rows: np.ndarray
 
 
-def _direct_sc_factor(vals, dsc, T11, n_sep):
+def _direct_sc_matrix(vals, dsc, T11, n_sep):
+    """Assemble the dense (pinned) Schur complement for L == 0."""
     dtype = vals.dtype
     S = jnp.zeros((n_sep, n_sep), dtype=dtype)
     S = S.at[dsc["a22_rows"], dsc["a22_cols"]].add(vals[dsc["a22_idx"]])
@@ -390,7 +391,7 @@ def _direct_sc_factor(vals, dsc, T11, n_sep):
         keep = jnp.ones(n_sep, dtype=dtype).at[fix_rows].set(0.0)
         S = S * keep[:, None] * keep[None, :]
         S = S.at[fix_rows, fix_rows].set(1.0)
-    return {"inv": _inv(S)}
+    return S
 
 
 def _build_bgrid_t(grid: GridInfo) -> sp.csr_matrix:
@@ -635,7 +636,16 @@ class Preconditioner:
             P = plans[0]
             n_sep = P.n_sep
 
-            def compute_fn(vals, dplans, ddirect):
+            def _gather_sum_sep(dp, contrib):
+                """Sum per-subdomain separator contributions into the
+                global separator vector/matrix (the Export-with-Add of
+                the reference)."""
+                flat = contrib.reshape((-1,) + contrib.shape[2:])
+                zero = jnp.zeros((1,) + flat.shape[1:], dtype=flat.dtype)
+                flat = jnp.concatenate([flat, zero])
+                return jnp.sum(flat[dp["sep_from_sd"]], axis=1)
+
+            def compute_fn(vals, dplans, ddirect, border_vals=None):
                 dp = dplans[0]
                 vals_ext = _ext(vals)
                 A11 = vals_ext[dp["A11_idx"]]
@@ -647,9 +657,32 @@ class Preconditioner:
                 A21 = vals_ext[dp["A21_idx"]]
                 G = A11inv @ A12
                 T11 = -(A21 @ G)
-                coarse = _direct_sc_factor(vals, ddirect, T11, n_sep)
-                return {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}],
-                        "coarse": coarse}
+                S = _direct_sc_matrix(vals, ddirect, T11, n_sep)
+                fac = {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}]}
+                if border_vals is None:
+                    fac["coarse"] = {"inv": _inv(S)}
+                    return fac
+                # bordered direct solve: eliminate the interiors from
+                # [K V; W' C] and invert the dense augmented SC
+                # (reference CoarseSolver::SetBorder + AugmentedMatrix,
+                # HYMLS_CoarseSolver.cpp:200-224)
+                V, W, C = border_vals
+                m = V.shape[1]
+                zrow = jnp.zeros((1, m), dtype=V.dtype)
+                V1 = jnp.concatenate([V, zrow])[dp["int_pos"]]
+                W1 = jnp.concatenate([W, zrow])[dp["int_pos"]]
+                Q1 = A11inv @ V1
+                SchurV = V[dp["sep_pos_in_nodes"]] - \
+                    _gather_sum_sep(dp, A21 @ Q1)
+                Q1w = jnp.swapaxes(A11inv, -1, -2) @ W1
+                SchurW = W[dp["sep_pos_in_nodes"]] - \
+                    _gather_sum_sep(dp, jnp.swapaxes(A12, -1, -2) @ Q1w)
+                Cs = C - jnp.einsum("sim,sin->mn", W1, Q1)
+                Maug = jnp.block([[S, SchurV],
+                                  [SchurW.T, Cs]])
+                fac["coarse"] = {"inv": _inv(Maug)}
+                fac["border"] = {"Q1": Q1, "W1": W1}
+                return fac
 
             def apply_fn(factors, dplans, b):
                 dp = dplans[0]
@@ -670,12 +703,40 @@ class Preconditioner:
                                        jnp.zeros((1,), dtype=dtype)])
                 return src[dp["node_src"]]
 
-            self._compute_pure = lambda vals, dplans, dcoarse: \
-                compute_fn(vals, dplans, dcoarse)
+            def apply_bordered_fn(factors, dplans, b, t):
+                """[x; s] = [K V; W' C]^{-1} [b; t] via the augmented
+                dense SC (reference CoarseSolver bordered ApplyInverse,
+                HYMLS_CoarseSolver.cpp:454-564)."""
+                dp = dplans[0]
+                fac = factors["levels"][0]
+                bb = factors["border"]
+                dtype = b.dtype
+                b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=dtype)])
+                b1 = b_ext[dp["int_pos"]]
+                x1 = _bmm(fac["A11inv"], b1)
+                y2c = _bmm(fac["A21"], x1)
+                y2 = jnp.sum(_ext(y2c.reshape(-1))[dp["sep_from_sd"]],
+                             axis=1)
+                r2 = b[dp["sep_pos_in_nodes"]] - y2
+                rt = t - jnp.einsum("sim,si->m", bb["W1"], x1)
+                sol = factors["coarse"]["inv"] @ jnp.concatenate([r2, rt])
+                x2, s = sol[:n_sep], sol[n_sep:]
+                x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
+                x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]]) \
+                    - bb["Q1"] @ s
+                src = jnp.concatenate([x1.reshape(-1), x2,
+                                       jnp.zeros((1,), dtype=dtype)])
+                return src[dp["node_src"]], s
+
+            bordered = self._border is not None
+            self._compute_pure = compute_fn
             self._apply_pure = apply_fn
-            self._apply_bordered_pure = None
+            self._apply_bordered_pure = apply_bordered_fn if bordered \
+                else None
             self._compute_jit = jax.jit(self._compute_pure)
             self._apply_jit = jax.jit(self._apply_pure)
+            self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
+                if bordered else None
             self._extra_plan = self._ddirect
             return
 
@@ -794,10 +855,6 @@ class Preconditioner:
             W = W[:, None]
         m = V.shape[1]
         C = np.zeros((m, m)) if C is None else np.asarray(C)
-        if self.max_level == 0:
-            raise NotImplementedError(
-                "bordered direct variant (Number of Levels=0) "
-                "not implemented yet")
         had_border = self._border is not None
         self._border = (V, W, C)
         self._factors = None

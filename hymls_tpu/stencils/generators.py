@@ -523,31 +523,38 @@ def stokes3d(nx, ny, nz, a=None, b=1.0, perio=NO_PERIO,
         out[m] = table[nb[m]]
         return out
 
+    CENTERED_X, CENTERED_Y, CENTERED_Z = 1, 2, 4
+
     coo = _Coo()
     if grid_type == "C":
         darcy = darcy3d(nx, ny, nz, 0.0, -b, perio)
-        specs = (
-            (0, right, second_of(right, right),
-             ((lower, upper), (below, above))),
-            (1, upper, second_of(upper, upper),
-             ((left, right), (below, above))),
-            (2, above, second_of(above, above),
-             ((left, right), (lower, upper))),
-        )
+        staggering = ((CENTERED_Y | CENTERED_Z),
+                      (CENTERED_X | CENTERED_Z),
+                      (CENTERED_X | CENTERED_Y))
     else:
         darcy = darcy_thcm3d(nx, ny, nz, 0.0, -b, perio)
-        # u,v: CENTERED_Z; w: CENTERED_X|CENTERED_Y
-        specs = (
-            (0, right, second_of(right, right), ((below, above),)),
-            (1, upper, second_of(upper, upper), ((below, above),)),
-            (2, above, second_of(above, above),
-             ((left, right), (lower, upper))),
-        )
+        # u,v: CENTERED_Z (xy-corner velocities); w: CENTERED_X|_Y
+        staggering = (CENTERED_Z, CENTERED_Z, CENTERED_X | CENTERED_Y)
+
+    # the three boundary branches of the reference assembly
+    # (GaleriExt_Stokes3D.h:190-255): each runs when its centered-bit
+    # is UNSET; `trigger` makes the row Dirichlet; the compensation
+    # pairs add +a for the tangential directions whose bit IS set;
+    # `second` is the neighbour-of-neighbour used to cut the coupling
+    # to boundary velocities.
+    branches = (
+        (CENTERED_X, right, second_of(right, right),
+         ((lower, upper, CENTERED_Y), (below, above, CENTERED_Z))),
+        (CENTERED_Y, upper, second_of(upper, upper),
+         ((left, right, CENTERED_X), (below, above, CENTERED_Z))),
+        (CENTERED_Z, above, second_of(above, above),
+         ((left, right, CENTERED_X), (lower, upper, CENTERED_Y))),
+    )
 
     omega = 100.0
-    for ivar, dirn, second, tang_pairs in specs:
+    for ivar in range(3):
+        stag = staggering[ivar]
         rows = base * dof + ivar
-        dir_mask = dirn < 0
         thcm_w = grid_type == "T" and ivar == 2
 
         lap_diag = np.full(base.shape, 6.0)
@@ -557,25 +564,41 @@ def stokes3d(nx, ny, nz, a=None, b=1.0, perio=NO_PERIO,
         if thcm_w:
             lap_diag = np.zeros(base.shape)
 
+        dir_mask = np.zeros(base.shape, dtype=bool)
         add_to_diag = np.zeros(base.shape)
-        for t0, t1 in tang_pairs:
-            add_to_diag += np.where((t0 < 0) | (t1 < 0), a, 0.0)
-        add_to_diag = np.where(dir_mask, 0.0, add_to_diag)
+        zero_tos = []
+        for bit, trigger, second, comps in branches:
+            if stag & bit:
+                continue
+            own_dir = trigger < 0
+            dir_mask |= own_dir
+            # add_to_diag accumulates independently of OTHER branches'
+            # Dirichlet resets (reference keeps a running add_to_diag)
+            for t0, t1, cbit in comps:
+                if stag & cbit:
+                    add_to_diag += np.where(
+                        ~own_dir & ((t0 < 0) | (t1 < 0)), a, 0.0)
+            zero_tos.append(np.where((trigger > 0) & (second < 0),
+                                     trigger, -1))
         if thcm_w:
             add_to_diag = np.zeros(base.shape)
 
-        diag_val = np.where(dir_mask, -(-1.0 / a) * a,
+        # Dirichlet rows: -(-1/a * a + add) = 1 - add (the reference
+        # keeps the accumulated compensation on Dirichlet diagonals)
+        diag_val = np.where(dir_mask, 1.0 - add_to_diag,
                             -(lap_diag * a + add_to_diag))
         coo.add(rows, rows, diag_val)
 
-        zero_to = np.where((dirn > 0) & (second < 0), dirn, -1)
         if not thcm_w:
             for nb in lnbs:
-                v = np.where((nb >= 0) & (nb == zero_to), 0.0, a)
+                v = np.full(base.shape, a)
+                for zt in zero_tos:
+                    v = np.where((nb >= 0) & (nb == zt), 0.0, v)
                 keep = (nb >= 0) & ~dir_mask
                 coo.add(rows[keep], nb[keep] * dof + ivar, v[keep])
 
-        # Coriolis coupling on the THCM grid (u <-> v)
+        # Coriolis coupling on the THCM grid (u <-> v), wiped on
+        # Dirichlet rows
         if grid_type == "T" and ivar == 0:
             coo.add(rows[~dir_mask], rows[~dir_mask] + 1, -omega * a)
         elif grid_type == "T" and ivar == 1:

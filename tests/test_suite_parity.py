@@ -23,18 +23,9 @@ def _run(name):
     return rep
 
 
-# configs whose iteration counts currently exceed the reference
-# target by 7-30% (convergence itself is fine, ~1e-10 residuals):
-# stokes_L2 93/80, stokes_L4 64/50, stokes_THCM3 75/70,
-# stokes_THCM4 44/35.  All involve the B-grid transform, Retain
-# Nodes > 1, or non-divisible grids -- see ARCHITECTURE.md backlog.
-_XF = pytest.mark.xfail(reason="iterations above reference target",
-                        strict=False)
 FAST = ["stokes3", "stokes4", "stokes5", "stokes4_3D",
-        "stokes_L", pytest.param("stokes_L2", marks=_XF),
-        "stokes_L3", pytest.param("stokes_L4", marks=_XF),
-        "stokes_THCM", pytest.param("stokes_THCM3", marks=_XF),
-        pytest.param("stokes_THCM4", marks=_XF),
+        "stokes_L", "stokes_L2", "stokes_L3", "stokes_L4",
+        "stokes_THCM", "stokes_THCM3", "stokes_THCM4",
         "laplace1_deflation"]
 SLOW = ["stokes0", "stokes0_3D", "stokes1_3D", "stokes2_3D",
         "stokes6", "bordering2", "laplace2_eigs"]

@@ -74,7 +74,9 @@ def main():
     vals64 = S.op64.vals
     vals32 = S.solver.op.vals
     bj = jnp.asarray(b, jnp.float64)
-    dplans = P._dplans
+    dplans = P._dplans          # full plans: factorization program
+    aplans = P._aplans          # pruned plans: solve program (Krylov
+    # loops re-stream every captured buffer per iteration on TPU)
     extra = P._extra_plan
 
     # timed: REPS x (f32 re-factorization + fused IR solve),
@@ -85,7 +87,7 @@ def main():
         scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
         factors = P._compute_jit(vals32 * scale32, dplans, extra)
         r = S._fused_jit(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
-                         factors, dplans, bj)
+                         P._prune_factors(factors), aplans, bj)
         last = r.x
     jax.block_until_ready(last)
     elapsed = (time.perf_counter() - t0) / REPS

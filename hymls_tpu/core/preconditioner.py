@@ -123,6 +123,13 @@ _LEVEL_FIELDS_I32 = ("int_pos", "sd_sep_pos", "sep_pos_in_nodes",
 _LEVEL_FIELDS_BOOL = ("int_mask", "sd_sep_mask", "blk_mask")
 _LEVEL_FIELDS_F = ("Q", "w_vals")
 
+#: the subset of plan arrays the apply (V-cycle) path reads — see
+#: Preconditioner._build_device_plans
+_APPLY_FIELDS = ("int_pos", "sd_sep_pos", "sep_pos_in_nodes",
+                 "sep_from_sd", "blk_inv_idx", "blk_pos", "vsum_pos",
+                 "vsum_slot", "node_src", "w_vals", "w_pos",
+                 "ot_inv_idx", "ot_row_of")
+
 
 def _device_level(plan: LevelPlan, dtype) -> Dict[str, jnp.ndarray]:
     d: Dict[str, jnp.ndarray] = {}
@@ -603,6 +610,13 @@ class Preconditioner:
 
     def _build_device_plans(self):
         self._dplans = [_device_level(p, self.dtype) for p in self.plans]
+        # the apply path reads only a small subset of the plan arrays;
+        # passing the full plans into a Krylov-loop program makes the
+        # TPU re-stream every captured buffer each iteration (measured
+        # ~11.5 GB/s effective, linear in bytes) — so solve programs
+        # get this pruned pytree instead
+        self._aplans = [{k: d[k] for k in _APPLY_FIELDS if k in d}
+                        for d in self._dplans]
         if self.coarse_plan is not None:
             cp = self.coarse_plan
             self._dcoarse = {
@@ -871,17 +885,18 @@ class Preconditioner:
         b = jnp.asarray(b, self.dtype)
         if self._border is not None:
             T = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
-            x, _s = self._apply_bordered_jit(self._factors, self._dplans,
+            x, _s = self._apply_bordered_jit(self.apply_factors,
+                                             self._aplans,
                                              b, T)
             return x
-        return self._apply_jit(self._factors, self._dplans, b)
+        return self._apply_jit(self.apply_factors, self._aplans, b)
 
     def apply_inverse_bordered(self, b, t):
         """[x; s] = [P V; W' C]^{-1} [b; t]."""
         if self._factors is None:
             self.compute()
         return self._apply_bordered_jit(
-            self._factors, self._dplans, jnp.asarray(b, self.dtype),
+            self.apply_factors, self._aplans, jnp.asarray(b, self.dtype),
             jnp.asarray(t, self.dtype))
 
     @property
@@ -890,10 +905,30 @@ class Preconditioner:
             self.compute()
         return self._factors
 
+    @staticmethod
+    def _prune_factors(factors):
+        """Apply-side view of the factor pytree (same device buffers,
+        no copies): the V-cycle reads only A11inv/G/A21/blkinv per
+        level plus the coarse inverse — the assembled SC values (used
+        to build the next level during compute) are dead weight that
+        a Krylov-loop program would otherwise re-stream every
+        iteration."""
+        keep = ("A11inv", "G", "A21", "blkinv", "border")
+        out = {"levels": [{k: f[k] for k in keep if k in f}
+                          for f in factors["levels"]],
+               "coarse": factors["coarse"]}
+        if "border" in factors:
+            out["border"] = factors["border"]
+        return out
+
+    @property
+    def apply_factors(self):
+        return self._prune_factors(self.factors)
+
     def apply_inverse_fn(self):
         """Returns (pure_fn, factors, device_plans): pure_fn(factors,
         dplans, b) -> x.  Plans are passed as arguments so callers can
         embed the apply inside their own jit without constant bloat."""
         if self._factors is None:
             self.compute()
-        return self._apply_pure, self._factors, self._dplans
+        return self._apply_pure, self.apply_factors, self._aplans

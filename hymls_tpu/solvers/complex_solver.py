@@ -141,8 +141,8 @@ class ComplexSolver:
         b = jnp.asarray(b, dtype=self.dtype)
         valsB = self.opB.vals if self.opB is not None else \
             jnp.zeros((0,), dtype=self.rdtype)
-        res = self._solve_jit(self.opA.vals, valsB, self.precond.factors,
-                              self.precond._dplans, b)
+        res = self._solve_jit(self.opA.vals, valsB, self.precond.apply_factors,
+                              self.precond._aplans, b)
         n = self.opA.n
         x = res.x[:n] if self._border is not None else res.x
         return x, res

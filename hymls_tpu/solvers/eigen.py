@@ -181,8 +181,8 @@ class JDQR:
 
         valsM = self.opM.vals if self.opM is not None else \
             jnp.zeros((0,), dtype=self.dtype)
-        factors = self.precond.factors
-        dplans = self.precond._dplans
+        factors = self.precond.apply_factors
+        dplans = self.precond._aplans
 
         it = 0
         while it < self.max_iter and len(locked_vals) < k_want:

@@ -134,7 +134,7 @@ class IterativeRefinementSolver:
         if self._fused_jit is None:
             self._build_fused()
         res = self._fused_jit(self.op64.vals, self.solver.op.vals,
-                              self.precond.factors, self.precond._dplans,
+                              self.precond.apply_factors, self.precond._aplans,
                               jnp.asarray(b, jnp.float64))
         self._last_result = res
         return res.x

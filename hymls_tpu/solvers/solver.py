@@ -192,8 +192,8 @@ class Solver:
         Vj = jnp.asarray(V, self.dtype)
         self._build_proj_solve(aug=self._border is not None)
 
-        factors = self.precond.factors
-        dplans = self.precond._dplans
+        factors = self.precond.apply_factors
+        dplans = self.precond._aplans
 
         def proj_solve(r):
             args = [self.op.vals, factors, dplans, Vj,
@@ -283,16 +283,16 @@ class Solver:
                     self._rng.standard_normal(b.shape[0]), dtype=self.dtype)
             else:
                 x0 = jnp.zeros_like(b)
-        factors = self.precond.factors
+        factors = self.precond.apply_factors
         if self._border is not None:
             if t is None:
                 t = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
             res = self._solve_jit(self.op.vals, factors,
-                                  self.precond._dplans, self._border, b,
+                                  self.precond._aplans, self._border, b,
                                   jnp.asarray(t, self.dtype), x0)
         else:
             res = self._solve_jit(self.op.vals, factors,
-                                  self.precond._dplans, b, x0)
+                                  self.precond._aplans, b, x0)
         self._last_result = res   # iteration count read lazily: a device
         # scalar readback costs a host round trip (expensive over
         # remote-TPU tunnels)

@@ -169,11 +169,21 @@ def run_case(params: Params, dtype=None) -> RunReport:
                          f"relerr {relerr:.3e} > target {t_err:g}")
 
     # optional dumps (reference 'Store Solution'/'Store Matrix' flags,
-    # src/main.cpp:129-131,484-490)
-    if driver.get("Store Matrix", False):
-        hio.write_matrix("matrix_dump.mtx", K)
-    if driver.get("Store Solution", False) and report.solves:
-        hio.write_vector("solution_dump.mtx", x)
+    # src/main.cpp:129-131,484-490; 'Store Format'='HDF5' uses the
+    # EpetraExt_HDF5-equivalent container)
+    if driver.get("Store Format", "MatrixMarket") == "HDF5":
+        objs = {}
+        if driver.get("Store Matrix", False):
+            objs["matrix"] = K
+        if driver.get("Store Solution", False) and report.solves:
+            objs["solution"] = x
+        if objs:
+            hio.write_hdf5("dump.h5", **objs)
+    else:
+        if driver.get("Store Matrix", False):
+            hio.write_matrix("matrix_dump.mtx", K)
+        if driver.get("Store Solution", False) and report.solves:
+            hio.write_vector("solution_dump.mtx", x)
 
     # eigenvalue computation (reference main_eigs / testEigenSolver)
     if driver.is_sublist("Eigenvalues"):

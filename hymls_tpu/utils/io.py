@@ -69,3 +69,43 @@ def read_linear_system(datadir: str):
         sio.mmread(p)))
     mass = maybe("mass", read_matrix)
     return K, b, x_ex, nullspace, mass
+
+
+# ---------------------------------------------------------------------------
+# HDF5 dumps (reference MatrixUtils::Dump via EpetraExt_HDF5,
+# src/HYMLS_MatrixUtils.hpp:124-158)
+# ---------------------------------------------------------------------------
+
+def write_hdf5(path: str, **objects) -> None:
+    """Write named matrices (scipy sparse -> CSR triplet datasets) and
+    vectors/arrays into one HDF5 file."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        for name, obj in objects.items():
+            if sp.issparse(obj):
+                A = obj.tocsr()
+                g = f.create_group(name)
+                g.attrs["format"] = "csr"
+                g.attrs["shape"] = A.shape
+                g.create_dataset("indptr", data=A.indptr)
+                g.create_dataset("indices", data=A.indices)
+                g.create_dataset("data", data=A.data)
+            else:
+                f.create_dataset(name, data=np.asarray(obj))
+
+
+def read_hdf5(path: str):
+    """Read back a dict of matrices/arrays written by write_hdf5."""
+    import h5py
+    out = {}
+    with h5py.File(path, "r") as f:
+        for name, obj in f.items():
+            if isinstance(obj, h5py.Group) and \
+                    obj.attrs.get("format") == "csr":
+                out[name] = sp.csr_matrix(
+                    (obj["data"][...], obj["indices"][...],
+                     obj["indptr"][...]),
+                    shape=tuple(obj.attrs["shape"]))
+            else:
+                out[name] = obj[...]
+    return out

@@ -34,3 +34,17 @@ def test_native_reader_symmetric(tmp_path):
     B = read_matrix_market(p)
     C = sio.mmread(p).tocsr()
     assert abs(B - C).max() < 1e-14
+
+
+def test_hdf5_roundtrip(tmp_path):
+    """HDF5 dump/read parity (reference MatrixUtils::Dump HDF5 path)."""
+    import scipy.sparse as sp
+    from hymls_tpu.utils.io import write_hdf5, read_hdf5
+    rng = np.random.default_rng(0)
+    A = sp.random(20, 20, density=0.3, random_state=1, format="csr")
+    v = rng.standard_normal(20)
+    p = str(tmp_path / "dump.h5")
+    write_hdf5(p, matrix=A, rhs=v)
+    out = read_hdf5(p)
+    assert (out["matrix"] != A).nnz == 0
+    assert np.allclose(out["rhs"], v)

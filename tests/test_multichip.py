@@ -58,3 +58,29 @@ def test_sharded_solve_matches_single_device():
         np.linalg.norm(np.asarray(x0))
     # reduction order differs across shards; agreement to ~1e-10
     assert d < 1e-10, f"sharded result differs: {d}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_vcycle_matches_serial():
+    """Explicit shard_map V-cycle (per-shard elimination + all_gather
+    separator exchange) is bit-identical to the single-device apply."""
+    import jax.numpy as jnp
+    from hymls_tpu.parallel.mesh import make_mesh
+    from hymls_tpu.parallel.vcycle import make_sharded_apply, shard_factors
+
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": 64, "ny": 64},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 2},
+    })
+    K = create_matrix(params)
+    P = Preconditioner(K, params,
+                       testvector=create_testvector(params, K)).compute()
+    mesh = make_mesh(8)
+    apply_sh = make_sharded_apply(P, mesh)
+    fac_sh, pl_sh = shard_factors(P, mesh)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(K.shape[0]))
+    x_serial = np.asarray(P.apply_inverse(b))
+    x_shard = np.asarray(apply_sh(fac_sh, pl_sh, b))
+    assert np.abs(x_serial - x_shard).max() < 1e-12

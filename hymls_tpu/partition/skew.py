@@ -357,6 +357,37 @@ class SkewCartesianPartitioner:
 
     # -- per-subdomain groups (reference GetGroups, lines 656-812) ----------
     def get_groups(self, sd: int) -> SubdomainGroups:
+        """Memoized wrapper: on non-periodic grids, subdomains on the
+        same sublattice (positions mod sx) with the same wall-clamped
+        distances are exact translates — group structure is identical
+        up to an additive GID shift (cf. the Cartesian memoization).
+        Verified against the direct path in tests/test_skew_partition."""
+        g, p = self.grid, self.p
+        if g.perio:
+            return self._get_groups_impl(sd)
+        sx, dof = p.sx, g.dof
+        sdx, sdy, sdz, _valid = self.position(sd)
+        C = 4 * sx + 4          # conservative template radius
+        key = (sdx % sx, sdy % sx, sdz % sx,
+               min(sdx, C), min(g.nx - sdx, C),
+               min(sdy, C), min(g.ny - sdy, C),
+               min(sdz, C), min(g.nz - sdz, C))
+        cache = getattr(self, "_group_cache", None)
+        if cache is None:
+            cache = self._group_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            res = self._get_groups_impl(sd)
+            cache[key] = ((sdx, sdy, sdz), res)
+            return res
+        (x0, y0, z0), res0 = hit
+        d = dof * ((sdx - x0) + g.nx * ((sdy - y0) + g.ny * (sdz - z0)))
+        return SubdomainGroups(
+            interior=res0.interior + d,
+            separators=[SepGroup(nodes=s.nodes + d, type=s.type)
+                        for s in res0.separators])
+
+    def _get_groups_impl(self, sd: int) -> SubdomainGroups:
         g, p = self.grid, self.p
         sx, dof = p.sx, g.dof
         nx = sx * 4

@@ -233,3 +233,29 @@ def test_retain_nodes_improves_convergence():
         assert bool(res.converged)
         iters[retain] = int(res.iters)
     assert iters[True] < iters[False]
+
+
+def test_skew_memoization_exact():
+    """The translation-memoized get_groups must agree exactly with the
+    direct computation for EVERY subdomain (2D and 3D grids)."""
+    for dims, nx in [(2, 64), (3, 16)]:
+        prob = {"Equations": "Stokes-C", "Dimension": dims,
+                "nx": nx, "ny": nx}
+        if dims == 3:
+            prob["nz"] = nx
+        params = Params({"Problem": prob,
+                         "Preconditioner": {"Partitioner": "Skew Cartesian",
+                                            "Separator Length": 4,
+                                            "Number of Levels": 1}})
+        grid = grid_from_params(params)
+        part = PartitionParams.from_params(params, grid)
+        sk = SkewCartesianPartitioner(grid, part)
+        sk2 = SkewCartesianPartitioner(grid, part)
+        for sd in sk.valid_subdomain_ids():
+            a = sk.get_groups(sd)                 # memoized
+            b = sk2._get_groups_impl(sd)          # direct
+            assert np.array_equal(a.interior, b.interior), sd
+            assert len(a.separators) == len(b.separators), sd
+            for s1, s2 in zip(a.separators, b.separators):
+                assert s1.type == s2.type, sd
+                assert np.array_equal(s1.nodes, s2.nodes), sd

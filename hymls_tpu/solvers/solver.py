@@ -54,6 +54,10 @@ class Solver:
         K.sum_duplicates()
         K.sort_indices()
         self.op.set_values(K.data)
+        self._K = K
+        if self._opT is not None:
+            # keep the transpose operator (deflation) in sync
+            self._opT.set_values(K.T.tocsr().data)
 
     def set_border(self, V, W=None, C=None):
         """Solve the bordered system [K V; W' C][x;s]=[b;0] (reference

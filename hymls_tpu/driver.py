@@ -67,6 +67,8 @@ def get_linear_system(params: Params):
         K, b, x_ex, ns, mass = hio.read_linear_system(datadir)
         # make sure grid info is consistent
         grid_from_params(params)
+        if ns is not None and not np.any(ns):
+            ns = None   # all-zero nullspace dumps carry no information
         if driver.get("Null Space Type", "None") != "None" and ns is None:
             ns = create_nullspace(params, K.shape[0])
         return K, b, x_ex, ns
@@ -117,14 +119,16 @@ def run_case(params: Params, dtype=None) -> RunReport:
                 S.setup_deflation()
 
         for s in range(num_solves):
-            if not read_problem:
+            if not read_problem or b0 is None:
+                # generate the rhs from a random exact solution (the
+                # reference does the same when 'RHS Available' is 0)
                 x_ex = rng.standard_normal(K.shape[0])
                 if ns is not None:
                     x_ex -= ns @ (ns.T @ x_ex)
                 b = Kc @ x_ex
             else:
                 x_ex = x_ex0
-                b = b0 * scaling if b0 is not None else None
+                b = b0 * scaling
 
             with timer.scope("solve"):
                 x, res = S.apply_inverse(b)
@@ -187,14 +191,33 @@ def run_case(params: Params, dtype=None) -> RunReport:
 
     # eigenvalue computation (reference main_eigs / testEigenSolver)
     if driver.is_sublist("Eigenvalues"):
-        from .solvers.eigen import JDQR
+        from .solvers.eigen import JDQR, shift_invert_eigs
+        eig = driver.sublist("Eigenvalues")
         t_eig_iter = targets.get("Number of Eigenvalue Iterations", 9999)
-        jd = JDQR(K, None, P, params, dtype=dtype)
-        eres = jd.solve()
-        report.check(eres.converged >= jd.how_many,
-                     f"only {eres.converged}/{jd.how_many} eigenpairs")
-        report.check(eres.iterations <= t_eig_iter,
-                     f"eig iters {eres.iterations} > {t_eig_iter}")
+        which = eig.get("Which", "SM")
+        how_many = eig.get("How Many", 10)
+        if which == "SM":
+            jd = JDQR(K, None, P, params, dtype=dtype)
+            eres = jd.solve()
+        else:
+            # rightmost/complex spectra (e.g. Turing bifurcations) have
+            # conjugate pairs the real JDQR cannot lock; use ARPACK
+            # shift-invert with the multilevel solver doing the inner
+            # solves (the reference's Anasazi BKS + HYMLS::Solver path,
+            # src/main_eigs.cpp non-PHIST branch)
+            eres = shift_invert_eigs(
+                K, None, S, k=max(2 * how_many, how_many + 2),
+                target=0.0, tol=eig.get("Convergence Tolerance", 1e-8))
+            order = np.argsort(-np.real(eres.values)) if which == "LR" \
+                else np.argsort(-np.abs(eres.values))
+            eres.values = eres.values[order][:how_many]
+            eres.vectors = eres.vectors[:, order][:, :how_many]
+            eres.converged = min(eres.converged, how_many)
+        report.check(eres.converged >= how_many,
+                     f"only {eres.converged}/{how_many} eigenpairs")
+        if eres.iterations >= 0:
+            report.check(eres.iterations <= t_eig_iter,
+                         f"eig iters {eres.iterations} > {t_eig_iter}")
     return report
 
 

@@ -96,6 +96,17 @@ class JDQR:
         if self.precond._factors is None:
             self.precond.compute()
         apply_fn, _, _ = self.precond.apply_inverse_fn()
+        if self.precond._border is not None:
+            # bordered preconditioner: apply [P V; W' C]^{-1} with zero
+            # border rhs and keep the x part (reference BorderedSolver
+            # convention for the correction preconditioner)
+            bord_fn = self.precond._apply_bordered_pure
+            mb = self.precond._border[0].shape[1]
+
+            def apply_fn(factors, dplans, x):     # noqa: F811
+                xs, _s = bord_fn(factors, dplans, x,
+                                 jnp.zeros((mb,), dtype=x.dtype))
+                return xs
         matvecK = self.opK.matvec_with
         matvecM = self.opM.matvec_with if self.opM is not None else None
         inner = self.inner_iters
@@ -197,6 +208,8 @@ class JDQR:
             # select Ritz value: nearest target / smallest magnitude
             if self.which == "LM":
                 order = np.argsort(-np.abs(w))
+            elif self.which == "LR":
+                order = np.argsort(-w.real)
             else:
                 order = np.argsort(np.abs(w - self.target))
             theta = w[order[0]].real

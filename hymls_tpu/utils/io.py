@@ -47,12 +47,44 @@ def write_vector(path: str, v) -> None:
     sio.mmwrite(path, np.asarray(v).reshape(-1, 1))
 
 
+def read_multivector(path: str) -> Optional[np.ndarray]:
+    """Read a dense multivector: MatrixMarket, or the Epetra debug-dump
+    format ('Epetra::MultiVector  MyPID  GID  Value...') that some
+    reference datasets use."""
+    try:
+        return np.asarray(sio.mmread(path))
+    except Exception:
+        pass
+    try:
+        rows = []
+        with open(path) as f:
+            header = f.readline()
+            if "Epetra::MultiVector" not in header:
+                return None
+            gid_vals = {}
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                gid = int(parts[1])
+                gid_vals[gid] = [float(v) for v in parts[2:]]
+        n = max(gid_vals) + 1
+        m = len(next(iter(gid_vals.values())))
+        out = np.zeros((n, m))
+        for g, vals in gid_vals.items():
+            out[g] = vals
+        return out
+    except Exception:
+        return None
+
+
 def read_linear_system(datadir: str):
     """Read (K, b, x_ex, nullspace, mass) from a reference-layout data
     directory: matrix.mtx, rhs.mtx, sol.mtx, nullSpace.mtx, mass.mtx
     (reference HYMLS_MainUtils.cpp read_matrix/read_vector naming)."""
     def maybe(name, reader):
-        for fn in (name, name + ".mtx", name + ".mm"):
+        for fn in (name, name + ".mtx", name + ".mm",
+                   name + ".mtx.gz", name + ".mm.gz"):
             p = os.path.join(datadir, fn)
             if os.path.exists(p):
                 return reader(p)
@@ -65,8 +97,7 @@ def read_linear_system(datadir: str):
         raise FileNotFoundError(f"no matrix found in {datadir}")
     b = maybe("rhs", read_vector)
     x_ex = maybe("sol", read_vector)
-    nullspace = maybe("nullSpace", lambda p: np.asarray(
-        sio.mmread(p)))
+    nullspace = maybe("nullSpace", read_multivector)
     mass = maybe("mass", read_matrix)
     return K, b, x_ex, nullspace, mass
 

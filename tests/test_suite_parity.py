@@ -29,7 +29,7 @@ FAST = ["stokes3", "stokes4", "stokes5", "stokes4_3D",
         "laplace1_deflation", "deflation1_bordering",
         "laplace1_eigs_deflation"]
 SLOW = ["stokes0", "stokes0_3D", "stokes1_3D", "stokes2_3D",
-        "stokes6", "bordering2", "laplace2_eigs"]
+        "stokes6", "bordering2", "laplace2_eigs", "turing"]
 
 
 @pytest.mark.parametrize("name", FAST)

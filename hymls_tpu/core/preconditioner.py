@@ -70,7 +70,14 @@ def _inv(A, refine: int = 1):
         for _ in range(refine):
             X = X @ (2.0 * eye - A @ X)
         return X
-    return jnp.linalg.inv(A)
+    X = jnp.linalg.inv(A)
+    if A.dtype == jnp.float64 and refine:
+        # one Newton polish: explicit inverses of ill-conditioned blocks
+        # (e.g. periodic Schur complements) lose ~cond*eps; this
+        # recovers residual-level accuracy at one matmul pair
+        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
+        X = X @ (2.0 * eye - A @ X)
+    return X
 
 
 def _bmm(A, x):
@@ -180,6 +187,12 @@ def _compute_level(vals, dp, sizes, apply_ot=True):
     B = sc_ext[dp["blk_idx"]]
     mb = B.shape[-1]
     B = B + jnp.eye(mb, dtype=dtype)[None] * (~dp["blk_mask"])[:, :, None]
+    # exactly-zero rows (variables whose transformed couplings all
+    # vanish, e.g. pure-Darcy velocity separators) get identity rows:
+    # the block solve passes their residual through instead of
+    # producing NaNs
+    zero_rows = jnp.sum(jnp.abs(B), axis=-1) == 0
+    B = B + jnp.eye(mb, dtype=dtype)[None] * zero_rows[:, :, None]
     blkinv = _inv(B)
 
     nxt = sc[dp["next_idx"]]

@@ -105,7 +105,10 @@ def run_case(params: Params, dtype=None) -> RunReport:
         if ns is not None:
             S.set_border(ns)
 
-    rng = np.random.default_rng(42)
+    # NOT seed 42: the Solver's 'Initial Vector: Random' stream uses 42,
+    # and an identical first draw would make x0 == x_ex (a vacuous
+    # 0-iteration solve)
+    rng = np.random.default_rng(1234)
     read_problem = driver.get("Read Linear System", False)
 
     Kc = K
@@ -139,7 +142,7 @@ def run_case(params: Params, dtype=None) -> RunReport:
             # integration_tests.cpp:584-601).
             eqn = params.sublist("Problem").get("Equations", "Laplace")
             proj = None
-            if x_ex is not None and eqn == "Stokes-C":
+            if x_ex is not None and eqn in ("Stokes-C", "Darcy"):
                 proj = create_nullspace(_proj_params(params, "Constant P"),
                                         K.shape[0])
             elif x_ex is not None and eqn in ("Stokes-B", "Stokes-L",

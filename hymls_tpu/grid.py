@@ -93,7 +93,7 @@ def grid_from_params(params: Params) -> GridInfo:
         if eqn == "Laplace":
             prob.get("Degrees of Freedom", 1)
             prob.sublist("Variable 0").get("Variable Type", "Laplace")
-        elif eqn.startswith("Stokes") or eqn == "Bous-C":
+        elif eqn.startswith("Stokes") or eqn in ("Bous-C", "Darcy"):
             if eqn == "Bous-C":
                 prob.get("Degrees of Freedom", dim + 2)
                 pvar = prob.get("Pressure Variable", dim + 1)

@@ -159,6 +159,29 @@ def laplace3d_neumann(nx, ny, nz) -> sp.csr_matrix:
     return -_cross3d(nx, ny, nz, 6.0, -1.0, NO_PERIO, neumann=True)
 
 
+def uniflow2d(nx, ny, conv=1.0, diff=1.0, alpha=0.0,
+              perio=NO_PERIO) -> sp.csr_matrix:
+    """Convection-diffusion with a uniform flow field at angle `alpha`
+    (behavioral equivalent of the Galeri 'UniFlow2D' operator used by
+    the reference's convdiff.xml demo): central differences of
+    -diff*Lap(u) + conv*(cos a, sin a).grad(u) on the unit square,
+    h = 1/(n+1), Dirichlet by omission."""
+    hx = 1.0 / (nx + 1)
+    hy = 1.0 / (ny + 1)
+    vx = conv * np.cos(alpha)
+    vy = conv * np.sin(alpha)
+    ce = diff / hx**2
+    cn = diff / hy**2
+    # -1*(...) convention matches laplace2d (negative-definite operator)
+    return -_cross2d(nx, ny,
+                     2.0 * ce + 2.0 * cn,
+                     -ce - vx / (2.0 * hx),   # west  (b)
+                     -ce + vx / (2.0 * hx),   # east  (c)
+                     -cn - vy / (2.0 * hy),   # south (d)
+                     -cn + vy / (2.0 * hy),   # north (e)
+                     perio)
+
+
 def star3d(nx, ny, nz, a, b, c, d, perio=NO_PERIO) -> sp.csr_matrix:
     """27-point stencil: center a, face-neighbours b, edge-neighbours
     c, corner-neighbours d (reference GaleriExt_Star3D.h:40-200;
@@ -638,6 +661,11 @@ def create_matrix(params: Params) -> sp.csr_matrix:
         eps = params.sublist("Driver").sublist("Galeri").get(
             "epsilon", prob.get("epsilon", 0.1))
         return stretched2d(nx, ny, eps)
+    if label == "UniFlow2D":
+        g = params.sublist("Driver").sublist("Galeri")
+        return uniflow2d(nx, ny, conv=g.get("conv", 1.0),
+                         diff=g.get("diff", 1.0),
+                         alpha=g.get("alpha", 0.0), perio=perio)
     if label == "Laplace Neumann":
         A = laplace2d_neumann(nx, ny) if dim == 2 else \
             laplace3d_neumann(nx, ny, nz)

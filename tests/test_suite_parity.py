@@ -27,9 +27,10 @@ FAST = ["stokes3", "stokes4", "stokes5", "stokes4_3D",
         "stokes_L", "stokes_L2", "stokes_L3", "stokes_L4",
         "stokes_THCM", "stokes_THCM3", "stokes_THCM4",
         "laplace1_deflation", "deflation1_bordering",
-        "laplace1_eigs_deflation"]
+        "laplace1_eigs_deflation", "neumann"]
 SLOW = ["stokes0", "stokes0_3D", "stokes1_3D", "stokes2_3D",
-        "stokes6", "bordering2", "laplace2_eigs", "turing"]
+        "stokes6", "bordering2", "laplace2_eigs", "turing",
+        "darcy", "convdiff"]
 
 
 @pytest.mark.parametrize("name", FAST)

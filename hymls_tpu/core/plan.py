@@ -25,6 +25,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..partition.hierarchical import Hierarchy
+from .. import native as _native
 
 SMALL_ENTRY = 1e-14  # reference HYMLS_Macros.hpp:26-30
 
@@ -50,6 +51,10 @@ class CsrLookup:
         q = rows.astype(np.int64) * self._n + cols.astype(np.int64)
         if self.keys.size == 0:
             return np.full(q.shape, self.nnz, dtype=np.int64)
+        if q.size >= 16384:   # ctypes overhead dominates small calls
+            out = _native.lookup_sorted(self.keys, q, self.nnz)
+            if out is not None:
+                return out
         pos = np.searchsorted(self.keys, q)
         ok = (pos < self.keys.size) & \
             (self.keys[np.minimum(pos, self.keys.size - 1)] == q)
@@ -64,7 +69,10 @@ def csr_entry_ids(A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray
 
 def _locate(sorted_arr: np.ndarray, gids: np.ndarray) -> np.ndarray:
     """Positions of gids in a sorted array (gids must all be present)."""
-    pos = np.searchsorted(sorted_arr, gids)
+    pos = _native.locate_sorted(sorted_arr, gids) \
+        if np.asarray(gids).size >= 16384 else None
+    if pos is None:
+        pos = np.searchsorted(sorted_arr, gids)
     assert gids.size == 0 or np.all(sorted_arr[pos] == gids), \
         "GID not found in level node set"
     return pos.astype(np.int64)
@@ -94,6 +102,10 @@ def _invert_to_padded(targets: np.ndarray, srcs: np.ndarray,
     srcs = np.asarray(srcs, dtype=np.int64)
     if targets.size == 0:
         return np.full((n_targets, 1), sentinel, dtype=np.int64)
+    if targets.size >= 16384:
+        out = _native.invert_to_padded(targets, srcs, n_targets, sentinel)
+        if out is not None:
+            return out
     order = np.argsort(targets, kind="stable")
     t_sorted = targets[order]
     s_sorted = srcs[order]

@@ -110,3 +110,92 @@ def read_matrix_market(path: str):
     A.sum_duplicates()
     A.sort_indices()
     return A
+
+
+# ---------------------------------------------------------------------------
+# native plan-builder core (planner.cpp)
+# ---------------------------------------------------------------------------
+
+_PLANNER: Optional[ctypes.CDLL] = None
+_PLANNER_TRIED = False
+
+
+def planner() -> Optional[ctypes.CDLL]:
+    """The native plan-builder library, or None."""
+    global _PLANNER, _PLANNER_TRIED
+    with _LOCK:
+        if _PLANNER is None and not _PLANNER_TRIED:
+            _PLANNER_TRIED = True
+            src = os.path.join(_HERE, "planner.cpp")
+            so = os.path.join(_HERE, "_planner.so")
+            try:
+                if not (os.path.exists(so) and
+                        os.path.getmtime(so) >= os.path.getmtime(src)):
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                        check=True, capture_output=True, timeout=120)
+                L = ctypes.CDLL(so)
+                c_i64p = ctypes.POINTER(ctypes.c_int64)
+                L.lookup_sorted_i64.restype = None
+                L.lookup_sorted_i64.argtypes = [
+                    c_i64p, ctypes.c_int64, c_i64p, ctypes.c_int64,
+                    ctypes.c_int64, c_i64p]
+                L.invert_to_padded_i64.restype = ctypes.c_int64
+                L.invert_to_padded_i64.argtypes = [
+                    c_i64p, c_i64p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, c_i64p]
+                L.locate_sorted_i64.restype = None
+                L.locate_sorted_i64.argtypes = [
+                    c_i64p, ctypes.c_int64, c_i64p, ctypes.c_int64, c_i64p]
+                _PLANNER = L
+            except Exception:
+                _PLANNER = None
+        return _PLANNER
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def lookup_sorted(keys, queries, miss: int):
+    """Native batched sorted lookup; None if unavailable."""
+    import numpy as np
+    L = planner()
+    if L is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    q = np.ascontiguousarray(queries, dtype=np.int64)
+    out = np.empty(q.shape, dtype=np.int64)
+    L.lookup_sorted_i64(_i64p(keys), keys.size, _i64p(q.reshape(-1)),
+                        q.size, miss, _i64p(out.reshape(-1)))
+    return out
+
+
+def invert_to_padded(targets, srcs, n_targets: int, sentinel: int):
+    """Native scatter->padded-gather inversion; None if unavailable."""
+    import numpy as np
+    L = planner()
+    if L is None:
+        return None
+    t = np.ascontiguousarray(targets, dtype=np.int64)
+    s = np.ascontiguousarray(srcs, dtype=np.int64)
+    width = L.invert_to_padded_i64(_i64p(t), _i64p(s), t.size,
+                                   n_targets, sentinel, 0, None)
+    out = np.empty((n_targets, width), dtype=np.int64)
+    L.invert_to_padded_i64(_i64p(t), _i64p(s), t.size, n_targets,
+                           sentinel, width, _i64p(out))
+    return out
+
+
+def locate_sorted(sorted_arr, gids):
+    """Native searchsorted-and-assume-present; None if unavailable."""
+    import numpy as np
+    L = planner()
+    if L is None:
+        return None
+    sa = np.ascontiguousarray(sorted_arr, dtype=np.int64)
+    g = np.ascontiguousarray(gids, dtype=np.int64)
+    out = np.empty(g.shape, dtype=np.int64)
+    L.locate_sorted_i64(_i64p(sa), sa.size, _i64p(g.reshape(-1)),
+                        g.size, _i64p(out.reshape(-1)))
+    return out

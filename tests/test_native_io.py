@@ -48,3 +48,31 @@ def test_hdf5_roundtrip(tmp_path):
     out = read_hdf5(p)
     assert (out["matrix"] != A).nnz == 0
     assert np.allclose(out["rhs"], v)
+
+
+def test_native_planner_primitives():
+    """Native plan-builder primitives agree with the numpy fallbacks."""
+    from hymls_tpu.native import (lookup_sorted, invert_to_padded,
+                                  locate_sorted, planner)
+    if planner() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, 10**6, 5000))
+    q = rng.integers(0, 10**6, 20000)
+    pos = np.searchsorted(keys, q)
+    ok = (pos < keys.size) & (keys[np.minimum(pos, keys.size - 1)] == q)
+    ref = np.where(ok, pos, -1)
+    assert np.array_equal(lookup_sorted(keys, q, -1), ref)
+
+    t = rng.integers(0, 300, 5000)
+    s = np.arange(5000)
+    out = invert_to_padded(t, s, 300, -9)
+    for tgt in range(300):
+        mine = out[tgt][out[tgt] != -9]
+        want = s[t == tgt]
+        assert np.array_equal(np.sort(mine), np.sort(want))
+
+    gids = keys[rng.integers(0, keys.size, 1000)]
+    assert np.array_equal(locate_sorted(keys, gids),
+                          np.searchsorted(keys, gids))

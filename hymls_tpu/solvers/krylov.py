@@ -35,12 +35,22 @@ class KrylovResult(NamedTuple):
 def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
           prec: Optional[Callable] = None, *, tol: float = 1e-8,
           maxiter: int = 100, left: bool = False,
-          scale_with_rhs: bool = True) -> KrylovResult:
-    """Preconditioned GMRES (full, no restart; maxiter <= basis size).
+          scale_with_rhs: bool = True,
+          restart: Optional[int] = None) -> KrylovResult:
+    """Preconditioned GMRES.
 
     op/prec: closures x -> A x and x -> M^{-1} x.
     left: left preconditioning (residual measured in preconditioned
-    norm, like Belos); otherwise right preconditioning."""
+    norm, like Belos); otherwise right preconditioning.
+    restart: Krylov basis size (Belos 'Num Blocks'); None or
+    >= maxiter runs full GMRES.  With a restart, up to
+    ceil(maxiter/restart) cycles run under an outer lax.while_loop
+    (Belos 'Maximum Restarts' semantics: total iterations still
+    capped at maxiter)."""
+    if restart is not None and restart < maxiter:
+        return _gmres_restarted(op, b, x0, prec, tol=tol, maxiter=maxiter,
+                                left=left, scale_with_rhs=scale_with_rhs,
+                                restart=restart)
     n = b.shape[0]
     dtype = b.dtype
     m = maxiter
@@ -178,4 +188,29 @@ def cg(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32), res0,
              res0 <= tol)
     x, r, z, p, rz, k, res, done = lax.while_loop(cond, body, state)
+    return KrylovResult(x=x, iters=k, relres=res, converged=done)
+
+
+def _gmres_restarted(op, b, x0, prec, *, tol, maxiter, left,
+                     scale_with_rhs, restart):
+    """Outer restart loop around fixed-basis inner GMRES cycles."""
+    n_cycles = -(-maxiter // restart)
+
+    def cycle(state):
+        x, k, res, done = state
+        inner = gmres(op, b, x, prec, tol=tol, maxiter=restart,
+                      left=left, scale_with_rhs=scale_with_rhs)
+        x = jnp.where(done, x, inner.x)
+        k = jnp.where(done, k, k + inner.iters)
+        res = jnp.where(done, res, inner.relres)
+        done = done | inner.converged
+        return x, k, res, done
+
+    def cond(state):
+        _, k, _, done = state
+        return (~done) & (k < maxiter)
+
+    x, k, res, done = lax.while_loop(
+        cond, cycle, (x0, jnp.asarray(0), jnp.asarray(jnp.inf, b.dtype),
+                      jnp.asarray(False)))
     return KrylovResult(x=x, iters=k, relres=res, converged=done)

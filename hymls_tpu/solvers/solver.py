@@ -39,6 +39,8 @@ class Solver:
         it = slist.sublist("Iterative Solver")
         self.maxiter = it.get("Maximum Iterations", 100)
         self.tol = it.get("Convergence Tolerance", 1e-6)
+        # Belos 'Num Blocks': GMRES basis size (restart length)
+        self.restart = it.get("Num Blocks", None)
         self._num_iter = 0
         self._solve_jit = None
         self._solve_proj_jit = None
@@ -93,6 +95,7 @@ class Solver:
         tol = self.tol
         maxiter = self.maxiter
         left = self.lor == "Left"
+        restart = self.restart
 
         if self._border is not None:
             if self.precond._factors is None:
@@ -120,7 +123,8 @@ class Solver:
                     return jnp.concatenate([x, s])
 
                 return krylov.gmres(op, bz, x0z, prec, tol=tol,
-                                    maxiter=maxiter, left=left)
+                                    maxiter=maxiter, left=left,
+                                    restart=restart)
 
             self._solve_jit = jax.jit(solve)
             return
@@ -140,7 +144,7 @@ class Solver:
             if method == "CG":
                 return krylov.cg(op, b, x0, prec, tol=tol, maxiter=maxiter)
             return krylov.gmres(op, b, x0, prec, tol=tol, maxiter=maxiter,
-                                left=left)
+                                left=left, restart=restart)
 
         self._solve_jit = jax.jit(solve)
 

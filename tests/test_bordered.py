@@ -151,3 +151,29 @@ def test_periodic_stokes_skew_bordered():
     relres = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
     assert bool(res.converged)
     assert relres < 1e-7
+
+
+def test_restarted_gmres_num_blocks():
+    """Belos 'Num Blocks' (GMRES restart length) parameter parity:
+    restarted cycles converge to the same answer."""
+    from hymls_tpu.stencils import laplace2d
+    K = laplace2d(32, 32)
+    base = {
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "GMRES", "Initial Vector": "Zero",
+                   "Iterative Solver": {"Maximum Iterations": 100,
+                                        "Convergence Tolerance": 1e-10,
+                                        "Num Blocks": 8}},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 1},
+    }
+    params = Params(base)
+    P = Preconditioner(K, params).compute()
+    S = Solver(K, P, params)
+    rng = np.random.default_rng(3)
+    b = K @ rng.standard_normal(K.shape[0])
+    x, res = S.apply_inverse(b)
+    relres = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert relres < 1e-9
+    assert int(res.iters) <= 40   # a few extra iters from restarting

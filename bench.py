@@ -87,7 +87,7 @@ def main():
         scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
         factors = P._compute_jit(vals32 * scale32, dplans, extra)
         r = S._fused_jit(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
-                         P._prune_factors(factors), aplans, bj)
+                         P.apply_factors_from(factors), aplans, bj)
         last = r.x
     jax.block_until_ready(last)
     elapsed = (time.perf_counter() - t0) / REPS

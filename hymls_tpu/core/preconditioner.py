@@ -525,6 +525,9 @@ class Preconditioner:
         self.coarse_plan: Optional[CoarsePlan] = None
         self.direct_plan: Optional[DirectSCPlan] = None
         self._dsc_level = None
+        self._level_parts: List[PartitionParams] = []
+        self._structured = None
+        self._sfactors = None
 
         if self.max_level == 0:
             self._init_direct_sc(part, pattern, nodes)
@@ -540,6 +543,7 @@ class Preconditioner:
                 part.sx, part.sy, part.sz = nxt.sx, nxt.sy, nxt.sz
                 part.cx, part.cy, part.cz = nxt.cx, nxt.cy, nxt.cz
             cart = self._make_partitioner(part)
+            self._level_parts.append(part)
             sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
             hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
             plan, tv = build_level_plan(lev, hier, pattern, nodes, tv,
@@ -552,7 +556,33 @@ class Preconditioner:
 
         self.coarse_plan = build_coarse_plan(pattern, nodes, self.fix_gids)
         self._build_device_plans()
+        self._init_structured()
         self._initialized = True
+
+    def _init_structured(self):
+        """Try to compile the gather-free structured apply (Cartesian
+        fast path, core/structured.py); keep the generic gather path on
+        any detection failure."""
+        self._structured = None
+        self._sapply_jit = None
+        self._repack_jit = None
+        if not self.params.sublist("Preconditioner").get(
+                "Structured Apply", True):
+            self._structured_reason = "disabled by parameter"
+            return
+        from .structured import build_structured_program
+        prog = build_structured_program(self)
+        if prog is None:
+            return
+        self._structured = prog
+
+        def sapply(factors, consts, b):
+            return prog.apply(factors, b, consts)
+
+        self._sapply_pure = sapply
+        self._sapply_jit = jax.jit(sapply)
+        self._repack_jit = jax.jit(
+            lambda factors, consts: prog.repack(factors, consts))
 
     def _make_partitioner(self, part: PartitionParams):
         if self.partitioner_type == "Skew Cartesian":
@@ -628,8 +658,8 @@ class Preconditioner:
         # TPU re-stream every captured buffer each iteration (measured
         # ~11.5 GB/s effective, linear in bytes) — so solve programs
         # get this pruned pytree instead
-        self._aplans = [{k: d[k] for k in _APPLY_FIELDS if k in d}
-                        for d in self._dplans]
+        self._aplans_gen = [{k: d[k] for k in _APPLY_FIELDS if k in d}
+                            for d in self._dplans]
         if self.coarse_plan is not None:
             cp = self.coarse_plan
             self._dcoarse = {
@@ -757,11 +787,11 @@ class Preconditioner:
 
             bordered = self._border is not None
             self._compute_pure = compute_fn
-            self._apply_pure = apply_fn
+            self._apply_pure_gen = apply_fn
             self._apply_bordered_pure = apply_bordered_fn if bordered \
                 else None
             self._compute_jit = jax.jit(self._compute_pure)
-            self._apply_jit = jax.jit(self._apply_pure)
+            self._apply_jit = jax.jit(self._apply_pure_gen)
             self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
                 if bordered else None
             self._extra_plan = self._ddirect
@@ -828,7 +858,7 @@ class Preconditioner:
                 return Top(base_apply(factors, dplans, TopT(b)))
 
         self._compute_pure = compute_fn
-        self._apply_pure = apply_fn
+        self._apply_pure_gen = apply_fn
         self._apply_bordered_pure = apply_bordered_fn \
             if border is not None else None
         self._compute_jit = jax.jit(compute_fn)
@@ -860,6 +890,10 @@ class Preconditioner:
         else:
             self._factors = self._compute_jit(self._vals0, self._dplans,
                                               self._extra_plan)
+        if self._structured is not None:
+            self._sfactors = self._repack_jit(
+                self._prune_factors(self._factors),
+                self._structured.consts)
         return self
 
     def set_border(self, V, W=None, C=None):
@@ -898,19 +932,22 @@ class Preconditioner:
         b = jnp.asarray(b, self.dtype)
         if self._border is not None:
             T = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
-            x, _s = self._apply_bordered_jit(self.apply_factors,
-                                             self._aplans,
-                                             b, T)
+            x, _s = self._apply_bordered_jit(
+                self._prune_factors(self._factors), self._aplans_gen, b, T)
             return x
-        return self._apply_jit(self.apply_factors, self._aplans, b)
+        if self._structured_active:
+            return self._sapply_jit(self._sfactors,
+                                    self._structured.consts, b)
+        return self._apply_jit(self._prune_factors(self._factors),
+                               self._aplans_gen, b)
 
     def apply_inverse_bordered(self, b, t):
         """[x; s] = [P V; W' C]^{-1} [b; t]."""
         if self._factors is None:
             self.compute()
         return self._apply_bordered_jit(
-            self.apply_factors, self._aplans, jnp.asarray(b, self.dtype),
-            jnp.asarray(t, self.dtype))
+            self._prune_factors(self._factors), self._aplans_gen,
+            jnp.asarray(b, self.dtype), jnp.asarray(t, self.dtype))
 
     @property
     def factors(self):
@@ -935,8 +972,43 @@ class Preconditioner:
         return out
 
     @property
+    def _structured_active(self) -> bool:
+        """The structured (gather-free) fast path is used for the plain
+        apply; bordered applies and the explicit shard_map V-cycle keep
+        the generic plan path."""
+        return self._structured is not None and self._border is None
+
+    @property
     def apply_factors(self):
+        """Factor pytree for the apply path: structured (repacked) when
+        the Cartesian fast path is active, else the pruned generic."""
+        if self._factors is None:
+            self.compute()
+        if self._structured_active:
+            return self._sfactors
         return self._prune_factors(self.factors)
+
+    @property
+    def _aplans(self):
+        """Plan pytree matching `apply_factors` / the `_apply_pure`
+        signature (structured consts or pruned generic plans)."""
+        if self._structured_active:
+            return self._structured.consts
+        return self._aplans_gen
+
+    def apply_factors_from(self, factors):
+        """Apply-side factor pytree for an externally computed factor
+        set (e.g. a re-factorization driven by the caller): repacked
+        into the structured layout when the fast path is active."""
+        pruned = self._prune_factors(factors)
+        if self._structured_active:
+            return self._repack_jit(pruned, self._structured.consts)
+        return pruned
+
+    @property
+    def _apply_pure(self):
+        return self._sapply_pure if self._structured_active \
+            else self._apply_pure_gen
 
     def apply_inverse_fn(self):
         """Returns (pure_fn, factors, device_plans): pure_fn(factors,

@@ -1,0 +1,703 @@
+"""Structured (gather-free) V-cycle apply for Cartesian partitions.
+
+TPU gathers execute at ~10 ns/element (measured on v5e: one 65k-element
+gather costs 0.66 ms), and the generic apply path in
+core/preconditioner.py moves every value through 6-8 arbitrary-index
+gathers per level — making the whole Krylov iteration gather-bound
+(~4.8 ms/iter at 256^2).  On a *Cartesian* partition of a regular grid
+none of that indexing is actually arbitrary: subdomains tile the grid,
+separator groups sit at fixed in-box offsets, and inter-subdomain
+coupling is nearest-neighbor.  This module detects that structure from
+the generic level plans and compiles the apply into reshapes,
+transposes, static slices and `jnp.roll`s — zero gathers on the
+iteration path (~19x faster per iteration, measured).
+
+The reference implements the same data movement with Epetra_Import
+communication plans (reference src/HYMLS_HierarchicalMap.cpp:144-285,
+src/HYMLS_Preconditioner.cpp:930-1070); on TPU the structure is static,
+so the "communication" compiles into XLA data movement at HBM
+bandwidth.
+
+Components:
+  * `build_structured_program(precond)` — host-side detection, run once
+    per problem structure.  Consumes the generic `LevelPlan`s; any
+    violated regularity assumption returns None and the caller keeps
+    the generic gather path (skew partitioner, periodic grids, 3D,
+    B-grid, "Domain Decomposition" variant, ...).
+  * per level, every vector is a (nJ, nI, channels) tensor; level-0
+    channels enumerate (y_loc, x_loc, dof) inside a subdomain box,
+    deeper levels enumerate (cell_y, cell_x, template).
+  * separator groups cluster into *templates* keyed by (type tag,
+    occurrence within owner box).  Boundary-extended instances are
+    order-preserving sub/super-sequences of one canonical channel
+    list, handled by per-slot validity masks.
+  * `repack(factors)` (jitted, once per factorization) conjugates the
+    generic batched factors with static per-class one-hot matrices so
+    slot selection is folded INTO the factor tensors.
+  * inter-subdomain contribution exchange (the reference's
+    Export-with-Add) becomes `jnp.roll` over the box grid with static
+    per-template neighbor offsets.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# detection containers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class STemplate:
+    type: int
+    occ: int
+    width: int                   # canonical group size
+    chs: np.ndarray              # (width,) canonical in-box channel ids
+    valid: np.ndarray            # (nJ, nI) instance validity
+    slot_valid: np.ndarray       # (nJ, nI, width)
+    w: np.ndarray                # (nJ, nI, width) reflector values (0 pad)
+    offsets: List[Tuple[int, int]] = field(default_factory=list)
+    nc_base: List[int] = field(default_factory=list)
+    base: int = 0                # offset of this template in the NS axis
+
+
+@dataclass
+class SCombo:
+    members: List[int]           # template ids in generic lset order
+    m: int                       # canonical block width = sum(W_T - 1)
+    blk_map: np.ndarray          # (nJ, nI) -> generic block id (+sentinel)
+    valid: np.ndarray            # (nJ, nI)
+
+
+@dataclass
+class SLevel:
+    nJ: int
+    nI: int
+    NCH: int
+    NC: int
+    ni_pad: int
+    ns_pad: int
+    blk_factors: Tuple[int, int]          # (s0, s1): box size in input units
+    in_chan: int                          # channels of the input unit
+    templates: List[STemplate] = field(default_factory=list)
+    combos: List[SCombo] = field(default_factory=list)
+    class_of: Optional[np.ndarray] = None   # (nJ, nI) int
+    sel: Optional[np.ndarray] = None        # (n_class, NCH, ni_pad)
+    pc: Optional[np.ndarray] = None         # (n_class, NC, ns_pad)
+    emb: Optional[List[np.ndarray]] = None  # per combo (n_class, m, mb_pad)
+    n_class: int = 0
+
+
+@dataclass
+class SCoarse:
+    n: int
+    src: np.ndarray              # (n,) flat index into (nJ*nI*NT)
+    back: np.ndarray             # (nJ*nI*NT,) index into x_coarse (+sent)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _merge_ordered(canon: List[int], seq: List[int]) -> Optional[List[int]]:
+    """Order-preserving union of two sequences (both subsequences of an
+    unknown master order).  None if the orders conflict."""
+    out: List[int] = []
+    i = j = 0
+    sc = set(canon)
+    ss = set(seq)
+    while i < len(canon) and j < len(seq):
+        a, b = canon[i], seq[j]
+        if a == b:
+            out.append(a)
+            i += 1
+            j += 1
+        elif a not in ss:
+            out.append(a)
+            i += 1
+        elif b not in sc:
+            out.append(b)
+            j += 1
+        else:
+            return None
+    out.extend(canon[i:])
+    out.extend(seq[j:])
+    return out
+
+
+class _Fallback(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# detection
+# ---------------------------------------------------------------------------
+
+def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
+    """Build one SLevel.  coords: (n_nodes_level,) -> (J, I, ch) arrays.
+    dims = (nJ, nI, NCH).  Raises _Fallback on any violated assumption."""
+    nJ, nI, NCH = dims
+    cJ, cI, cCH = coords
+    n_sd = hier.num_subdomains
+    if n_sd != nJ * nI:
+        raise _Fallback("subdomain count != box grid")
+
+    nodes_n = plan.n_nodes
+    groups = hier.groups
+    n_groups = len(groups)
+
+    # positions of GIDs in the level node vector are needed to read
+    # plan arrays; hier stores GIDs, plan arrays store positions.  The
+    # caller passes coords indexed BY POSITION in the node vector.
+    # -- group instances ----------------------------------------------------
+    g_box = np.empty((n_groups, 2), dtype=np.int64)
+    g_chs: List[np.ndarray] = []
+    for gi, grp in enumerate(groups):
+        pos = grp._pos                     # filled by caller
+        J, I, ch = cJ[pos], cI[pos], cCH[pos]
+        if J.min() != J.max() or I.min() != I.max():
+            raise _Fallback("group spans boxes")
+        g_box[gi] = (J[0], I[0])
+        g_chs.append(ch)
+
+    # occurrence rank within owner box per type
+    by_box: Dict[Tuple[int, int], List[int]] = {}
+    for gi in range(n_groups):
+        by_box.setdefault((int(g_box[gi, 0]), int(g_box[gi, 1])),
+                          []).append(gi)
+    occ_of = np.zeros(n_groups, dtype=np.int64)
+    for box, gis in by_box.items():
+        per_type: Dict[int, List[int]] = {}
+        for gi in gis:
+            per_type.setdefault(groups[gi].type, []).append(gi)
+        for t, lst in per_type.items():
+            lst.sort(key=lambda gi: int(g_chs[gi][0]))
+            for r, gi in enumerate(lst):
+                occ_of[gi] = r
+
+    # template clustering
+    tmpl_key: Dict[Tuple[int, int], int] = {}
+    tmpl_groups: List[List[int]] = []
+    for gi in range(n_groups):
+        key = (groups[gi].type, int(occ_of[gi]))
+        ti = tmpl_key.get(key)
+        if ti is None:
+            ti = len(tmpl_groups)
+            tmpl_key[key] = ti
+            tmpl_groups.append([])
+        tmpl_groups[ti].append(gi)
+    if len(tmpl_groups) > 64:
+        raise _Fallback("too many templates")
+
+    # canonical channel lists (order-preserving union of instances)
+    sep_sorted = np.unique(hier.all_separator_nodes())
+    n_sep = sep_sorted.size
+    templates: List[STemplate] = []
+    g_tmpl = np.zeros(n_groups, dtype=np.int64)
+    for ti, gis in enumerate(tmpl_groups):
+        canon: List[int] = []
+        for gi in gis:
+            canon = _merge_ordered(canon, [int(c) for c in g_chs[gi]])
+            if canon is None:
+                raise _Fallback("inconsistent group channel order")
+        W = len(canon)
+        ch_rank = {c: p for p, c in enumerate(canon)}
+        valid = np.zeros((nJ, nI), dtype=bool)
+        slot_valid = np.zeros((nJ, nI, W), dtype=bool)
+        w = np.zeros((nJ, nI, W))
+        for gi in gis:
+            J, I = g_box[gi]
+            if int(g_chs[gi][0]) != canon[0]:
+                raise _Fallback("instance missing canonical Vsum slot")
+            valid[J, I] = True
+            slots = [ch_rank[int(c)] for c in g_chs[gi]]
+            slot_valid[J, I, slots] = True
+            g_tmpl[gi] = ti
+            # reflector values from the plan (ot_row_of/w_vals)
+            locs = np.searchsorted(sep_sorted, groups[gi].nodes)
+            row = plan.ot_row_of[locs[0]]
+            if row < plan.w_pos.shape[0]:
+                sz = groups[gi].nodes.size
+                w[J, I, slots] = plan.w_vals[row, :sz]
+        templates.append(STemplate(
+            type=groups[gis[0]].type, occ=int(occ_of[gis[0]]), width=W,
+            chs=np.array(canon, dtype=np.int64), valid=valid,
+            slot_valid=slot_valid, w=w))
+
+    # contributor offsets per template (owner - contributor), ordered
+    contrib: List[Dict[Tuple[int, int], int]] = [dict() for _ in templates]
+    for sd in range(n_sd):
+        J, I = divmod(sd, nI)
+        for gi in hier.sd_groups[sd]:
+            ti = g_tmpl[gi]
+            off = (int(g_box[gi, 0]) - J, int(g_box[gi, 1]) - I)
+            contrib[ti][off] = contrib[ti].get(off, 0) + 1
+    for ti, T in enumerate(templates):
+        offs = sorted(contrib[ti].keys())
+        n_inst = len(tmpl_groups[ti])
+        for off in offs:
+            # every instance must be fed by every contributor role
+            if contrib[ti][off] != n_inst:
+                raise _Fallback("irregular contributor pattern")
+        T.offsets = offs
+
+    # contributor boxes must exist on-grid for every instance
+    for ti, T in enumerate(templates):
+        Js, Is = np.nonzero(T.valid)
+        for dj, di in T.offsets:
+            if (Js - dj).min() < 0 or (Js - dj).max() >= nJ or \
+               (Is - di).min() < 0 or (Is - di).max() >= nI:
+                raise _Fallback("contributor outside grid")
+
+    # NS / NC layouts
+    base = 0
+    for T in templates:
+        T.base = base
+        base += T.width
+    nc = 0
+    for T in templates:
+        T.nc_base = []
+        for _ in T.offsets:
+            T.nc_base.append(nc)
+            nc += T.width
+    NC = nc
+
+    # -- per-box class signatures -------------------------------------------
+    # interior channels (generic slot order) and the sd separator-slot
+    # layout (generic ns order: groups concatenated in sd_groups order)
+    int_chs: List[List[int]] = []
+    ns_layout: List[List[Tuple[int, int, int]]] = []   # (T, role, pos)
+    for sd in range(n_sd):
+        J, I = divmod(sd, nI)
+        pos = hier._int_pos[sd]              # positions in node vector
+        if pos.size and not (np.all(cJ[pos] == J) and np.all(cI[pos] == I)):
+            raise _Fallback("interior outside own box")
+        int_chs.append([int(c) for c in cCH[pos]])
+        lay: List[Tuple[int, int, int]] = []
+        for gi in hier.sd_groups[sd]:
+            ti = int(g_tmpl[gi])
+            T = templates[ti]
+            off = (int(g_box[gi, 0]) - J, int(g_box[gi, 1]) - I)
+            role = T.offsets.index(off)
+            ch_rank = {c: p for p, c in enumerate(
+                [int(x) for x in T.chs])}
+            for c in g_chs[gi]:
+                lay.append((ti, role, ch_rank[int(c)]))
+        ns_layout.append(lay)
+
+    # block (linked-set) enumeration, mirroring plan.py's block loop
+    lset_block: List[int] = []
+    bid = 0
+    for lset in hier.linked_sets:
+        sizes = [groups[gi].nodes.size for gi in lset]
+        if any(s > 1 for s in sizes):
+            lset_block.append(bid)
+            bid += 1
+        else:
+            lset_block.append(-1)
+    n_blk_expected = bid
+
+    # combos keyed by member-template tuple
+    combo_key: Dict[Tuple[int, ...], int] = {}
+    combos: List[SCombo] = []
+    combo_inst: List[List[Tuple[int, int, int, List[int]]]] = []
+    blk_layout: List[Dict[Tuple[int, int], List[Tuple[int, int]]]] = []
+    for li, lset in enumerate(hier.linked_sets):
+        if lset_block[li] < 0:
+            continue
+        mts = tuple(int(g_tmpl[gi]) for gi in lset)
+        J, I = int(g_box[lset[0], 0]), int(g_box[lset[0], 1])
+        for gi in lset:
+            if (int(g_box[gi, 0]), int(g_box[gi, 1])) != (J, I):
+                raise _Fallback("linked set spans boxes")
+        ci = combo_key.get(mts)
+        if ci is None:
+            m = sum(templates[t].width - 1 for t in mts)
+            ci = len(combos)
+            combo_key[mts] = ci
+            combos.append(SCombo(
+                members=list(mts), m=m,
+                blk_map=np.full((nJ, nI), -1, dtype=np.int64),
+                valid=np.zeros((nJ, nI), dtype=bool)))
+            combo_inst.append([])
+            blk_layout.append({})
+        C = combos[ci]
+        if C.blk_map[J, I] >= 0:
+            raise _Fallback("duplicate combo instance")
+        C.blk_map[J, I] = lset_block[li]
+        C.valid[J, I] = True
+        # generic block slot layout: concat of instance [1:] runs
+        lay: List[Tuple[int, int]] = []       # (member_rank, canon pos-1)
+        for r, gi in enumerate(lset):
+            T = templates[int(g_tmpl[gi])]
+            ch_rank = {c: p for p, c in enumerate(
+                [int(x) for x in T.chs])}
+            for c in g_chs[gi][1:]:
+                lay.append((r, ch_rank[int(c)] - 1))
+        blk_layout[ci][(J, I)] = lay
+
+    # a template must appear in at most one combo (its non-Vsum slots
+    # are solved by exactly one block)
+    seen_t: set = set()
+    for C in combos:
+        for t in C.members:
+            if t in seen_t and templates[t].width > 1:
+                raise _Fallback("template in multiple combos")
+            seen_t.add(t)
+
+    # class signature = everything per-box the folds depend on
+    sig_of: Dict[Tuple, int] = {}
+    class_of = np.zeros((nJ, nI), dtype=np.int64)
+    cls_sigs: List[Tuple] = []
+    for sd in range(n_sd):
+        J, I = divmod(sd, nI)
+        blk_sig = []
+        for ci, C in enumerate(combos):
+            blk_sig.append(tuple(blk_layout[ci].get((J, I), ())))
+        sig = (tuple(int_chs[sd]), tuple(ns_layout[sd]), tuple(blk_sig))
+        c = sig_of.get(sig)
+        if c is None:
+            c = len(cls_sigs)
+            sig_of[sig] = c
+            cls_sigs.append(sig)
+        class_of[J, I] = c
+    n_class = len(cls_sigs)
+    if n_class > 64:
+        raise _Fallback("too many box classes")
+
+    # fold matrices per class
+    sel = np.zeros((n_class, NCH, ni_pad))
+    pcm = np.zeros((n_class, NC, ns_pad))
+    embs = [np.zeros((n_class, C.m, mb_pad)) for C in combos]
+    for c, sig in enumerate(cls_sigs):
+        ichs, lay, blk_sig = sig
+        for m, ch in enumerate(ichs):
+            sel[c, ch, m] = 1.0
+        for j, (ti, role, p) in enumerate(lay):
+            pcm[c, templates[ti].nc_base[role] + p, j] = 1.0
+        for ci, bl in enumerate(blk_sig):
+            starts = np.cumsum(
+                [0] + [templates[t].width - 1
+                       for t in combos[ci].members])[:-1]
+            for slot, (r, p) in enumerate(bl):
+                embs[ci][c, starts[r] + p, slot] = 1.0
+
+    lev = SLevel(nJ=nJ, nI=nI, NCH=NCH, NC=NC, ni_pad=ni_pad,
+                 ns_pad=ns_pad, blk_factors=(0, 0), in_chan=0,
+                 templates=templates, combos=combos, class_of=class_of,
+                 sel=sel, pc=pcm, emb=embs, n_class=n_class)
+    # map for next level: vsum GID -> (J, I, template)
+    vmap: Dict[int, Tuple[int, int, int]] = {}
+    for gi in range(n_groups):
+        vmap[int(groups[gi].nodes[0])] = (
+            int(g_box[gi, 0]), int(g_box[gi, 1]), int(g_tmpl[gi]))
+    return lev, vmap
+
+
+def build_structured_program(precond) -> Optional["StructuredProgram"]:
+    """Detect Cartesian structure in a Preconditioner's plans.  Returns
+    None (with .reason set on the precond) if the generic path must be
+    kept."""
+    try:
+        return _build_impl(precond)
+    except _Fallback as e:
+        precond._structured_reason = str(e)
+        return None
+
+
+def _build_impl(precond):
+    from ..partition.cartesian import CartesianPartitioner
+
+    g = precond.grid
+    if precond.partitioner_type != "Cartesian":
+        raise _Fallback("non-Cartesian partitioner")
+    if g.nz > 1:
+        raise _Fallback("3D not yet structured")
+    if g.perio:
+        raise _Fallback("periodic grid")
+    if getattr(precond, "_bgrid_T", None) is not None:
+        raise _Fallback("B-grid transform")
+    if precond.max_level < 1:
+        raise _Fallback("direct-SC mode")
+    if precond.variant == "Domain Decomposition":
+        raise _Fallback("Domain Decomposition variant")
+    if not precond.apply_dropping:
+        raise _Fallback("Apply Dropping == false")
+    parts = getattr(precond, "_level_parts", None)
+    if parts is None or len(parts) != precond.max_level:
+        raise _Fallback("level partition params unavailable")
+
+    dof = g.dof
+    levels: List[SLevel] = []
+    nodes = np.arange(g.num_nodes, dtype=np.int64)
+
+    # level-0 coordinates
+    p0 = parts[0]
+    if g.nx % p0.sx or g.ny % p0.sy:
+        raise _Fallback("grid not divisible by separator length")
+    nJ, nI = g.ny // p0.sy, g.nx // p0.sx
+    NCH = p0.sy * p0.sx * dof
+
+    def coords_from_grid(gids):
+        d = gids % dof
+        cell = gids // dof
+        x = cell % g.nx
+        y = cell // g.nx
+        J = y // p0.sy
+        I = x // p0.sx
+        ch = ((y % p0.sy) * p0.sx + (x % p0.sx)) * dof + d
+        return J, I, ch
+
+    coords = coords_from_grid(nodes)
+    blk0 = (p0.sy, p0.sx)
+    in_chan0 = dof
+
+    vmap_prev: Optional[Dict[int, Tuple[int, int, int]]] = None
+    NT_prev = 0
+    dims = (nJ, nI, NCH)
+
+    for lev in range(precond.max_level):
+        plan = precond.plans[lev]
+        hier = precond.hierarchies[lev]
+        # positions of group/interior GIDs in the level node vector
+        for gi, grp in enumerate(hier.groups):
+            grp._pos = np.searchsorted(nodes, grp.nodes)
+        hier._int_pos = [np.searchsorted(nodes, hier.interior[sd])
+                         for sd in range(hier.num_subdomains)]
+        ni_pad = plan.int_pos.shape[1]
+        ns_pad = plan.sd_sep_pos.shape[1]
+        mb_pad = plan.blk_idx.shape[1] if plan.blk_idx.size else 1
+        slev, vmap = _detect_level(plan, hier, coords, dims,
+                                   ni_pad, ns_pad, mb_pad)
+        if lev == 0:
+            slev.blk_factors = blk0
+            slev.in_chan = in_chan0
+        else:
+            cy = levels[-1].nJ // slev.nJ if slev.nJ else 0
+            cx = levels[-1].nI // slev.nI if slev.nI else 0
+            if cy * slev.nJ != levels[-1].nJ or \
+               cx * slev.nI != levels[-1].nI:
+                raise _Fallback("box grids not nested")
+            slev.blk_factors = (cy, cx)
+            slev.in_chan = NT_prev
+        levels.append(slev)
+
+        # next level coordinates
+        nodes = plan.next_nodes
+        NT = len(slev.templates)
+        if lev + 1 < precond.max_level:
+            pnext = parts[lev + 1]
+            if pnext.sx % parts[lev].sx or pnext.sy % parts[lev].sy:
+                raise _Fallback("non-nested separator lengths")
+            cx = pnext.sx // parts[lev].sx
+            cy = pnext.sy // parts[lev].sy
+            if slev.nI % cx or slev.nJ % cy:
+                raise _Fallback("box grid not divisible by coarsening")
+            nJn, nIn = slev.nJ // cy, slev.nI // cx
+            J = np.empty(nodes.size, dtype=np.int64)
+            I = np.empty(nodes.size, dtype=np.int64)
+            ch = np.empty(nodes.size, dtype=np.int64)
+            for p, gid in enumerate(nodes):
+                j0, i0, t = vmap[int(gid)]
+                J[p] = j0 // cy
+                I[p] = i0 // cx
+                ch[p] = ((j0 % cy) * cx + (i0 % cx)) * NT + t
+            coords = (J, I, ch)
+            dims = (nJn, nIn, cy * cx * NT)
+        NT_prev = NT
+        vmap_prev = vmap
+
+    # coarse permutations: coarse nodes are plans[-1].next_nodes sorted
+    L = levels[-1]
+    NT = len(L.templates)
+    n_c = nodes.size
+    src = np.empty(n_c, dtype=np.int64)
+    back = np.full(L.nJ * L.nI * NT, n_c, dtype=np.int64)
+    for p, gid in enumerate(nodes):
+        j0, i0, t = vmap_prev[int(gid)]
+        flat = (j0 * L.nI + i0) * NT + t
+        src[p] = flat
+        back[flat] = p
+    coarse = SCoarse(n=n_c, src=src, back=back)
+    return StructuredProgram(levels, coarse, precond.dtype)
+
+
+# ---------------------------------------------------------------------------
+# the compiled program
+# ---------------------------------------------------------------------------
+
+class StructuredProgram:
+    """Compiled structured apply.  All device constants (masks,
+    reflectors, one-hot folds) live in `self.consts`, a pytree the
+    caller passes as a jit ARGUMENT — capturing them as constants makes
+    TPU compiles pathologically slow (same finding as the generic
+    plans, core/preconditioner.py:_make_jitted)."""
+
+    def __init__(self, levels: List[SLevel], coarse: SCoarse, dtype):
+        self.levels = levels
+        self.coarse = coarse
+        self.dtype = dtype
+        self._const = []
+        for L in levels:
+            cm = np.zeros((L.n_class, L.nJ, L.nI))
+            for c in range(L.n_class):
+                cm[c] = (L.class_of == c)
+            ech = []
+            for T in L.templates:
+                E = np.zeros((L.NCH, T.width))
+                E[T.chs, np.arange(T.width)] = 1.0
+                ech.append(jnp.asarray(E, dtype))
+            self._const.append({
+                "class_mask": jnp.asarray(cm, dtype),
+                "sel": jnp.asarray(L.sel, dtype),
+                "pc": jnp.asarray(L.pc, dtype),
+                "emb": [jnp.asarray(e, dtype) for e in L.emb],
+                "w": [jnp.asarray(T.w, dtype) for T in L.templates],
+                "slot_valid": [jnp.asarray(T.slot_valid, dtype)
+                               for T in L.templates],
+                "ech": ech,
+            })
+        self._coarse_const = {
+            "src": jnp.asarray(coarse.src, jnp.int32),
+            "back": jnp.asarray(coarse.back, jnp.int32),
+        }
+        self.consts = {"levels": self._const, "coarse": self._coarse_const}
+
+    # -- repack: fold one-hot selections into factors (per factorization) ---
+    def repack(self, factors, consts=None):
+        consts = self.consts if consts is None else consts
+        out = {"levels": [], "coarse": factors["coarse"]}
+        for lev, L in enumerate(self.levels):
+            f = factors["levels"][lev]
+            c = consts["levels"][lev]
+            nJ, nI = L.nJ, L.nI
+            A11 = f["A11inv"].reshape(nJ, nI, L.ni_pad, L.ni_pad)
+            A21 = f["A21"].reshape(nJ, nI, L.ns_pad, L.ni_pad)
+            G = f["G"].reshape(nJ, nI, L.ni_pad, L.ns_pad)
+            A11s = jnp.zeros((nJ, nI, L.NCH, L.NCH), A11.dtype)
+            A21s = jnp.zeros((nJ, nI, L.NC, L.NCH), A11.dtype)
+            Gs = jnp.zeros((nJ, nI, L.NCH, L.NC), A11.dtype)
+            for ci in range(L.n_class):
+                m = c["class_mask"][ci][:, :, None, None]
+                s = c["sel"][ci]              # (NCH, ni)
+                p = c["pc"][ci]               # (NC, ns)
+                A11s = A11s + m * jnp.einsum("am,ijmn,bn->ijab", s, A11, s)
+                A21s = A21s + m * jnp.einsum("am,ijmn,bn->ijab", p, A21, s)
+                Gs = Gs + m * jnp.einsum("am,ijmn,bn->ijab", s, G, p)
+            blk = f["blkinv"]
+            blk_ext = jnp.concatenate(
+                [blk, jnp.zeros((1,) + blk.shape[1:], blk.dtype)])
+            combos = []
+            for C, emb in zip(L.combos, c["emb"]):
+                B = blk_ext[jnp.asarray(
+                    np.where(C.blk_map >= 0, C.blk_map, blk.shape[0]),
+                    jnp.int32)]
+                Bs = jnp.zeros((nJ, nI, C.m, C.m), B.dtype)
+                for ci in range(L.n_class):
+                    m = c["class_mask"][ci][:, :, None, None]
+                    e = emb[ci]
+                    Bs = Bs + m * jnp.einsum("am,ijmn,bn->ijab", e, B, e)
+                combos.append(Bs)
+            out["levels"].append(
+                {"A11": A11s, "A21": A21s, "G": Gs, "blk": combos})
+        return out
+
+    # -- apply ---------------------------------------------------------------
+    def apply(self, sfactors, b, consts=None):
+        consts = self.consts if consts is None else consts
+        return self._apply_level(0, sfactors, consts, b)
+
+    def _apply_level(self, lev, sfactors, consts, b):
+        L = self.levels[lev]
+        c = consts["levels"][lev]
+        f = sfactors["levels"][lev]
+        dtype = b.dtype
+        s0, s1 = L.blk_factors
+        nJ, nI = L.nJ, L.nI
+
+        r = b.reshape(nJ, s0, nI, s1, L.in_chan) \
+             .transpose(0, 2, 1, 3, 4).reshape(nJ, nI, L.NCH)
+        x1 = jnp.einsum("ijab,ijb->ija", f["A11"], r)
+        y2c = jnp.einsum("ijab,ijb->ija", f["A21"], x1)
+
+        # separator rhs per template: own values minus contributions
+        # (channel extraction via static scalar slices — a vector-index
+        # take would lower to a serialized TPU gather)
+        tt = []
+        for ti, T in enumerate(L.templates):
+            b2 = jnp.stack([r[:, :, int(ch)] for ch in T.chs], axis=-1)
+            acc = b2
+            for k, (dj, di) in enumerate(T.offsets):
+                sl = y2c[:, :, T.nc_base[k]:T.nc_base[k] + T.width]
+                if dj or di:
+                    sl = jnp.roll(sl, shift=(dj, di), axis=(0, 1))
+                acc = acc - sl
+            # orthogonal transform (2ww' - I); degenerate groups: -I
+            w = c["w"][ti]
+            d = jnp.sum(w * acc, axis=-1, keepdims=True)
+            tt.append(2.0 * w * d - acc)
+
+        # non-Vsum block solves
+        y_parts = [jnp.zeros_like(p) for p in tt]
+        for C, B in zip(L.combos, f["blk"]):
+            tb = jnp.concatenate(
+                [tt[m][:, :, 1:L.templates[m].width] for m in C.members],
+                axis=-1)
+            yb = jnp.einsum("ijab,ijb->ija", B, tb)
+            off = 0
+            for m in C.members:
+                w = L.templates[m].width - 1
+                if w:
+                    y_parts[m] = y_parts[m].at[:, :, 1:].set(
+                        yb[:, :, off:off + w])
+                off += w
+
+        # Vsum rhs -> next level / coarse
+        vs = jnp.stack([p[:, :, 0] for p in tt], axis=-1) if tt \
+            else jnp.zeros((nJ, nI, 0), dtype)              # (nJ, nI, NT)
+        if lev + 1 < len(self.levels):
+            x_next = self._apply_level(lev + 1, sfactors, consts, vs)
+        else:
+            rhs = vs.reshape(-1)[consts["coarse"]["src"]]
+            sol = sfactors["coarse"]["inv"] @ rhs
+            sol_ext = jnp.concatenate([sol, jnp.zeros((1,), dtype)])
+            x_next = sol_ext[consts["coarse"]["back"]].reshape(vs.shape)
+
+        # merge Vsum solutions, inverse transform, mask invalid slots
+        x2 = []
+        for ti, T in enumerate(L.templates):
+            y = y_parts[ti].at[:, :, 0].set(x_next[:, :, ti])
+            w = c["w"][ti]
+            d = jnp.sum(w * y, axis=-1, keepdims=True)
+            x2.append((2.0 * w * d - y) * c["slot_valid"][ti])
+
+        # back-substitution
+        x2c_parts = []
+        for ti, T in enumerate(L.templates):
+            for k, (dj, di) in enumerate(T.offsets):
+                sl = x2[ti]
+                if dj or di:
+                    sl = jnp.roll(sl, shift=(-dj, -di), axis=(0, 1))
+                x2c_parts.append(sl)
+        if x2c_parts:
+            x2c = jnp.concatenate(x2c_parts, axis=-1)       # (nJ, nI, NC)
+            x1 = x1 - jnp.einsum("ijab,ijb->ija", f["G"], x2c)
+
+        # merge separators into the channel vector (valid slots are
+        # disjoint across templates; invalid slots are zero in x2; the
+        # one-hot einsum is the scatter-free embed)
+        out = x1
+        for ti, T in enumerate(L.templates):
+            out = out + jnp.einsum("aw,ijw->ija", c["ech"][ti], x2[ti])
+
+        out = out.reshape(nJ, nI, s0, s1, L.in_chan) \
+                 .transpose(0, 2, 1, 3, 4)
+        if lev == 0:
+            return out.reshape(-1)
+        return out.reshape(nJ * s0, nI * s1, L.in_chan)

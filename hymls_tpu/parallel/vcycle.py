@@ -56,8 +56,10 @@ def make_sharded_apply(precond, mesh: Mesh) -> Callable:
     subdomain count does not divide the mesh)."""
     axis = mesh.axis_names[0]
     ndev = mesh.size
-    factors = precond.apply_factors
-    aplans = precond._aplans
+    # the explicit shard_map V-cycle is built on the generic plan
+    # arrays (the structured fast path has its own layout)
+    factors = precond._prune_factors(precond.factors)
+    aplans = precond._aplans_gen
     plans = precond.plans
     max_level = precond.max_level
     napply = [(p.n_nodes, p.n_sep) for p in plans]
@@ -125,8 +127,10 @@ def shard_factors(precond, mesh: Mesh):
     make_sharded_apply expects (sharded batch axes live distributed,
     everything else replicated)."""
     axis = mesh.axis_names[0]
-    factors = precond.apply_factors
-    aplans = precond._aplans
+    # the explicit shard_map V-cycle is built on the generic plan
+    # arrays (the structured fast path has its own layout)
+    factors = precond._prune_factors(precond.factors)
+    aplans = precond._aplans_gen
     fspecs, pspecs, _ = _spec_trees(factors, aplans, mesh.size, axis)
 
     def place(tree, specs):

@@ -1,0 +1,137 @@
+"""Parity of the structured (gather-free) Cartesian apply vs the
+generic gather path (core/structured.py vs core/preconditioner.py).
+
+The structured engine is a pure re-expression of the same math, so the
+two applies must agree to rounding on every supported configuration,
+and unsupported configurations must fall back cleanly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hymls_tpu.config import Params
+from hymls_tpu.stencils import create_matrix, create_testvector
+from hymls_tpu.core.preconditioner import Preconditioner
+
+
+def _build(eq, prob, prec):
+    params = Params({
+        "Problem": dict(Equations=eq, Dimension=2, **prob),
+        "Preconditioner": dict({"Separator Length": 4}, **prec),
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    return K, Preconditioner(K, params, testvector=tv)
+
+
+CASES = [
+    ("Laplace", {"nx": 16, "ny": 16}, {"Number of Levels": 1}),
+    ("Laplace", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+    ("Laplace", {"nx": 64, "ny": 64}, {"Number of Levels": 3}),
+    ("Laplace", {"nx": 32, "ny": 16}, {"Number of Levels": 1}),
+    ("Laplace", {"nx": 64, "ny": 8},
+     {"Number of Levels": 1, "Separator Length (x)": 16,
+      "Separator Length (y)": 4}),
+    ("Laplace", {"nx": 32, "ny": 32},
+     {"Number of Levels": 2, "Retain Nodes": 2}),
+    ("Laplace", {"nx": 48, "ny": 48},
+     {"Number of Levels": 2, "Coarsening Factor": 3}),
+    ("Stokes-C", {"nx": 16, "ny": 16}, {"Number of Levels": 1}),
+    ("Stokes-C", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+    ("Stokes-C", {"nx": 32, "ny": 32},
+     {"Number of Levels": 2, "Preconditioner Variant": "Lower Triangular"}),
+    ("Darcy", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+]
+
+
+@pytest.mark.parametrize("eq,prob,prec", CASES)
+def test_structured_matches_generic(eq, prob, prec):
+    K, P = _build(eq, prob, prec)
+    assert P._structured is not None, \
+        f"expected structured path, got fallback: " \
+        f"{getattr(P, '_structured_reason', '')}"
+    P.compute()
+    rng = np.random.default_rng(42)
+    b = rng.standard_normal(K.shape[0])
+    x_s = np.asarray(P._sapply_jit(P._sfactors, P._structured.consts,
+                                   jnp.asarray(b)))
+    x_g = np.asarray(P._apply_jit(P._prune_factors(P._factors),
+                                  P._aplans_gen, jnp.asarray(b)))
+    scale = np.max(np.abs(x_g))
+    assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
+
+
+def test_apply_factors_from_matches_compute():
+    """The external-refactorization helper must produce the same
+    structured factors as compute()."""
+    K, P = _build("Laplace", {"nx": 32, "ny": 32}, {"Number of Levels": 2})
+    P.compute()
+    f2 = P.apply_factors_from(P._factors)
+    for a, b in zip(jax.tree.leaves(P._sfactors), jax.tree.leaves(f2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_skew_falls_back():
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": 16, "ny": 16},
+        "Preconditioner": {"Partitioner": "Skew Cartesian",
+                           "Separator Length": 4, "Number of Levels": 1},
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv)
+    assert P._structured is None
+    # the generic path still solves
+    P.compute()
+    b = np.random.default_rng(0).standard_normal(K.shape[0])
+    x = P.apply_inverse(b)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_disable_by_parameter():
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": 16, "ny": 16},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 1,
+                           "Structured Apply": False},
+    })
+    K = create_matrix(params)
+    P = Preconditioner(K, params, testvector=create_testvector(params, K))
+    assert P._structured is None
+
+
+def test_solver_iteration_counts_identical():
+    """End-to-end: CG iteration counts with the structured apply must
+    equal the generic path's (laplace1-style config)."""
+    from hymls_tpu.solvers.solver import Solver
+
+    def run(structured):
+        params = Params({
+            "Problem": {"Equations": "Laplace", "Dimension": 2,
+                        "nx": 32, "ny": 32},
+            "Solver": {"Krylov Method": "CG", "Initial Vector": "Zero",
+                       "Iterative Solver": {"Maximum Iterations": 100,
+                                            "Convergence Tolerance": 1e-10}},
+            "Preconditioner": {"Separator Length": 4,
+                               "Number of Levels": 2,
+                               "Structured Apply": structured},
+        })
+        K = create_matrix(params)
+        tv = create_testvector(params, K)
+        P = Preconditioner(K, params, testvector=tv).compute()
+        if structured:
+            assert P._structured is not None
+        S = Solver(K, P, params)
+        rng = np.random.default_rng(3)
+        x_ex = rng.standard_normal(K.shape[0])
+        b = K @ x_ex
+        x, res = S.apply_inverse(b)
+        relerr = np.linalg.norm(np.asarray(x) - x_ex) / np.linalg.norm(x_ex)
+        return int(res.iters), relerr
+
+    it_s, err_s = run(True)
+    it_g, err_g = run(False)
+    assert it_s == it_g
+    assert err_s <= 1e-9 and err_g <= 1e-9

@@ -29,14 +29,14 @@ params = Params({
                "Left or Right Preconditioning": "Right",
                "Iterative Solver": {"Maximum Iterations": 250,
                                     "Convergence Tolerance": 1e-12}},
-    "Preconditioner": {"Partitioner": "Skew Cartesian",
+    "Preconditioner": {"Partitioner": "Cartesian",
                        "Separator Length": 4, "Number of Levels": 1},
 })
 tv = create_testvector(params, K)
 
 t0 = time.perf_counter()
 S = IterativeRefinementSolver(K, params, testvector=tv, inner_tol=5e-7,
-                              max_passes=4)
+                              max_passes=8)
 t_sym = time.perf_counter() - t0    # symbolic (host, once per structure)
 
 t0 = time.perf_counter()

@@ -22,11 +22,12 @@ Components:
   * `build_structured_program(precond)` — host-side detection, run once
     per problem structure.  Consumes the generic `LevelPlan`s; any
     violated regularity assumption returns None and the caller keeps
-    the generic gather path (skew partitioner, periodic grids, 3D,
-    B-grid, "Domain Decomposition" variant, ...).
-  * per level, every vector is a (nJ, nI, channels) tensor; level-0
-    channels enumerate (y_loc, x_loc, dof) inside a subdomain box,
-    deeper levels enumerate (cell_y, cell_x, template).
+    the generic gather path (skew partitioner, B-grid,
+    "Domain Decomposition" variant, ...).
+  * per level, every vector is a (nK, nJ, nI, channels) tensor over the
+    3-axis subdomain box grid (nK=1 for 2D problems); level-0 channels
+    enumerate (z_loc, y_loc, x_loc, dof) inside a subdomain box, deeper
+    levels enumerate (cell_z, cell_y, cell_x, template).
   * separator groups cluster into *templates* keyed by (type tag,
     occurrence within owner box).  Boundary-extended instances are
     order-preserving sub/super-sequences of one canonical channel
@@ -36,7 +37,9 @@ Components:
     slot selection is folded INTO the factor tensors.
   * inter-subdomain contribution exchange (the reference's
     Export-with-Add) becomes `jnp.roll` over the box grid with static
-    per-template neighbor offsets.
+    per-template neighbor offsets; on periodic grids the roll's
+    wraparound IS the periodic coupling (offsets canonicalized modulo
+    the box-grid size per periodic axis).
 """
 from __future__ import annotations
 
@@ -49,6 +52,9 @@ import jax
 import jax.numpy as jnp
 
 
+Off = Tuple[int, int, int]
+
+
 # ---------------------------------------------------------------------------
 # detection containers
 # ---------------------------------------------------------------------------
@@ -59,10 +65,10 @@ class STemplate:
     occ: int
     width: int                   # canonical group size
     chs: np.ndarray              # (width,) canonical in-box channel ids
-    valid: np.ndarray            # (nJ, nI) instance validity
-    slot_valid: np.ndarray       # (nJ, nI, width)
-    w: np.ndarray                # (nJ, nI, width) reflector values (0 pad)
-    offsets: List[Tuple[int, int]] = field(default_factory=list)
+    valid: np.ndarray            # (nK, nJ, nI) instance validity
+    slot_valid: np.ndarray       # (nK, nJ, nI, width)
+    w: np.ndarray                # (nK, nJ, nI, width) reflector values (0 pad)
+    offsets: List[Off] = field(default_factory=list)
     nc_base: List[int] = field(default_factory=list)
     base: int = 0                # offset of this template in the NS axis
 
@@ -71,23 +77,24 @@ class STemplate:
 class SCombo:
     members: List[int]           # template ids in generic lset order
     m: int                       # canonical block width = sum(W_T - 1)
-    blk_map: np.ndarray          # (nJ, nI) -> generic block id (+sentinel)
-    valid: np.ndarray            # (nJ, nI)
+    blk_map: np.ndarray          # (nK, nJ, nI) -> generic block id (+sentinel)
+    valid: np.ndarray            # (nK, nJ, nI)
 
 
 @dataclass
 class SLevel:
+    nK: int
     nJ: int
     nI: int
     NCH: int
     NC: int
     ni_pad: int
     ns_pad: int
-    blk_factors: Tuple[int, int]          # (s0, s1): box size in input units
+    blk_factors: Tuple[int, int, int]     # (bz, by, bx): box size in input units
     in_chan: int                          # channels of the input unit
     templates: List[STemplate] = field(default_factory=list)
     combos: List[SCombo] = field(default_factory=list)
-    class_of: Optional[np.ndarray] = None   # (nJ, nI) int
+    class_of: Optional[np.ndarray] = None   # (nK, nJ, nI) int
     sel: Optional[np.ndarray] = None        # (n_class, NCH, ni_pad)
     pc: Optional[np.ndarray] = None         # (n_class, NC, ns_pad)
     emb: Optional[List[np.ndarray]] = None  # per combo (n_class, m, mb_pad)
@@ -97,8 +104,8 @@ class SLevel:
 @dataclass
 class SCoarse:
     n: int
-    src: np.ndarray              # (n,) flat index into (nJ*nI*NT)
-    back: np.ndarray             # (nJ*nI*NT,) index into x_coarse (+sent)
+    src: np.ndarray              # (n,) flat index into (nK*nJ*nI*NT)
+    back: np.ndarray             # (nK*nJ*nI*NT,) index into x_coarse (+sent)
 
 
 # ---------------------------------------------------------------------------
@@ -135,42 +142,55 @@ class _Fallback(Exception):
     pass
 
 
+def _canon_off(raw: int, n: int, periodic: bool) -> int:
+    """Canonical contributor offset along one box axis.  On periodic
+    axes offsets are equivalence classes modulo the box-grid size (the
+    jnp.roll wraparound realizes them); pick the minimal-magnitude
+    representative, deterministically."""
+    if not periodic or n == 0:
+        return raw
+    off = raw % n
+    if off > n // 2:
+        off -= n
+    return off
+
+
 # ---------------------------------------------------------------------------
 # detection
 # ---------------------------------------------------------------------------
 
-def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
-    """Build one SLevel.  coords: (n_nodes_level,) -> (J, I, ch) arrays.
-    dims = (nJ, nI, NCH).  Raises _Fallback on any violated assumption."""
-    nJ, nI, NCH = dims
-    cJ, cI, cCH = coords
+def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
+    """Build one SLevel.  coords: (n_nodes_level,) -> (K, J, I, ch)
+    arrays (positions in the level node vector).  dims = (nK, nJ, nI,
+    NCH); periodic = per-axis wrap flags (pz, py, px).  Raises
+    _Fallback on any violated assumption."""
+    nK, nJ, nI, NCH = dims
+    cK, cJ, cI, cCH = coords
     n_sd = hier.num_subdomains
-    if n_sd != nJ * nI:
+    if n_sd != nK * nJ * nI:
         raise _Fallback("subdomain count != box grid")
 
-    nodes_n = plan.n_nodes
+    def box_of(sd):
+        return sd // (nJ * nI), (sd // nI) % nJ, sd % nI
+
     groups = hier.groups
     n_groups = len(groups)
 
-    # positions of GIDs in the level node vector are needed to read
-    # plan arrays; hier stores GIDs, plan arrays store positions.  The
-    # caller passes coords indexed BY POSITION in the node vector.
     # -- group instances ----------------------------------------------------
-    g_box = np.empty((n_groups, 2), dtype=np.int64)
+    g_box = np.empty((n_groups, 3), dtype=np.int64)
     g_chs: List[np.ndarray] = []
     for gi, grp in enumerate(groups):
         pos = grp._pos                     # filled by caller
-        J, I, ch = cJ[pos], cI[pos], cCH[pos]
-        if J.min() != J.max() or I.min() != I.max():
+        K, J, I, ch = cK[pos], cJ[pos], cI[pos], cCH[pos]
+        if K.min() != K.max() or J.min() != J.max() or I.min() != I.max():
             raise _Fallback("group spans boxes")
-        g_box[gi] = (J[0], I[0])
+        g_box[gi] = (K[0], J[0], I[0])
         g_chs.append(ch)
 
     # occurrence rank within owner box per type
-    by_box: Dict[Tuple[int, int], List[int]] = {}
+    by_box: Dict[Tuple[int, int, int], List[int]] = {}
     for gi in range(n_groups):
-        by_box.setdefault((int(g_box[gi, 0]), int(g_box[gi, 1])),
-                          []).append(gi)
+        by_box.setdefault(tuple(int(v) for v in g_box[gi]), []).append(gi)
     occ_of = np.zeros(n_groups, dtype=np.int64)
     for box, gis in by_box.items():
         per_type: Dict[int, List[int]] = {}
@@ -192,12 +212,11 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
             tmpl_key[key] = ti
             tmpl_groups.append([])
         tmpl_groups[ti].append(gi)
-    if len(tmpl_groups) > 64:
+    if len(tmpl_groups) > 192:
         raise _Fallback("too many templates")
 
     # canonical channel lists (order-preserving union of instances)
     sep_sorted = np.unique(hier.all_separator_nodes())
-    n_sep = sep_sorted.size
     templates: List[STemplate] = []
     g_tmpl = np.zeros(n_groups, dtype=np.int64)
     for ti, gis in enumerate(tmpl_groups):
@@ -208,52 +227,69 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
                 raise _Fallback("inconsistent group channel order")
         W = len(canon)
         ch_rank = {c: p for p, c in enumerate(canon)}
-        valid = np.zeros((nJ, nI), dtype=bool)
-        slot_valid = np.zeros((nJ, nI, W), dtype=bool)
-        w = np.zeros((nJ, nI, W))
+        valid = np.zeros((nK, nJ, nI), dtype=bool)
+        slot_valid = np.zeros((nK, nJ, nI, W), dtype=bool)
+        w = np.zeros((nK, nJ, nI, W))
         for gi in gis:
-            J, I = g_box[gi]
+            K, J, I = g_box[gi]
             if int(g_chs[gi][0]) != canon[0]:
                 raise _Fallback("instance missing canonical Vsum slot")
-            valid[J, I] = True
+            valid[K, J, I] = True
             slots = [ch_rank[int(c)] for c in g_chs[gi]]
-            slot_valid[J, I, slots] = True
+            slot_valid[K, J, I, slots] = True
             g_tmpl[gi] = ti
             # reflector values from the plan (ot_row_of/w_vals)
             locs = np.searchsorted(sep_sorted, groups[gi].nodes)
             row = plan.ot_row_of[locs[0]]
             if row < plan.w_pos.shape[0]:
                 sz = groups[gi].nodes.size
-                w[J, I, slots] = plan.w_vals[row, :sz]
+                w[K, J, I, slots] = plan.w_vals[row, :sz]
         templates.append(STemplate(
             type=groups[gis[0]].type, occ=int(occ_of[gis[0]]), width=W,
             chs=np.array(canon, dtype=np.int64), valid=valid,
             slot_valid=slot_valid, w=w))
 
-    # contributor offsets per template (owner - contributor), ordered
-    contrib: List[Dict[Tuple[int, int], int]] = [dict() for _ in templates]
+    # contributor offsets per template (owner - contributor), ordered;
+    # canonicalized modulo the box grid on periodic axes
+    ns_grid = (nK, nJ, nI)
+
+    def canon3(raw: Off) -> Off:
+        return tuple(_canon_off(raw[a], ns_grid[a], periodic[a])
+                     for a in range(3))
+
+    contrib: List[Dict[Off, int]] = [dict() for _ in templates]
     for sd in range(n_sd):
-        J, I = divmod(sd, nI)
+        K, J, I = box_of(sd)
         for gi in hier.sd_groups[sd]:
             ti = g_tmpl[gi]
-            off = (int(g_box[gi, 0]) - J, int(g_box[gi, 1]) - I)
+            off = canon3((int(g_box[gi, 0]) - K,
+                          int(g_box[gi, 1]) - J,
+                          int(g_box[gi, 2]) - I))
             contrib[ti][off] = contrib[ti].get(off, 0) + 1
     for ti, T in enumerate(templates):
         offs = sorted(contrib[ti].keys())
         n_inst = len(tmpl_groups[ti])
         for off in offs:
             # every instance must be fed by every contributor role
+            # exactly once (a count > n_inst means two roles collapsed
+            # onto one canonical offset — tiny periodic box grids)
             if contrib[ti][off] != n_inst:
                 raise _Fallback("irregular contributor pattern")
         T.offsets = offs
 
     # contributor boxes must exist on-grid for every instance
+    # (non-periodic axes only — periodic axes wrap via jnp.roll)
     for ti, T in enumerate(templates):
-        Js, Is = np.nonzero(T.valid)
-        for dj, di in T.offsets:
-            if (Js - dj).min() < 0 or (Js - dj).max() >= nJ or \
-               (Is - di).min() < 0 or (Is - di).max() >= nI:
-                raise _Fallback("contributor outside grid")
+        Ks, Js, Is = np.nonzero(T.valid)
+        pos = (Ks, Js, Is)
+        for off in T.offsets:
+            for a in range(3):
+                if periodic[a]:
+                    continue
+                lo = (pos[a] - off[a]).min()
+                hi = (pos[a] - off[a]).max()
+                if lo < 0 or hi >= ns_grid[a]:
+                    raise _Fallback("contributor outside grid")
 
     # NS / NC layouts
     base = 0
@@ -274,16 +310,19 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
     int_chs: List[List[int]] = []
     ns_layout: List[List[Tuple[int, int, int]]] = []   # (T, role, pos)
     for sd in range(n_sd):
-        J, I = divmod(sd, nI)
+        K, J, I = box_of(sd)
         pos = hier._int_pos[sd]              # positions in node vector
-        if pos.size and not (np.all(cJ[pos] == J) and np.all(cI[pos] == I)):
+        if pos.size and not (np.all(cK[pos] == K) and
+                             np.all(cJ[pos] == J) and np.all(cI[pos] == I)):
             raise _Fallback("interior outside own box")
         int_chs.append([int(c) for c in cCH[pos]])
         lay: List[Tuple[int, int, int]] = []
         for gi in hier.sd_groups[sd]:
             ti = int(g_tmpl[gi])
             T = templates[ti]
-            off = (int(g_box[gi, 0]) - J, int(g_box[gi, 1]) - I)
+            off = canon3((int(g_box[gi, 0]) - K,
+                          int(g_box[gi, 1]) - J,
+                          int(g_box[gi, 2]) - I))
             role = T.offsets.index(off)
             ch_rank = {c: p for p, c in enumerate(
                 [int(x) for x in T.chs])}
@@ -301,20 +340,20 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
             bid += 1
         else:
             lset_block.append(-1)
-    n_blk_expected = bid
 
     # combos keyed by member-template tuple
     combo_key: Dict[Tuple[int, ...], int] = {}
     combos: List[SCombo] = []
-    combo_inst: List[List[Tuple[int, int, int, List[int]]]] = []
-    blk_layout: List[Dict[Tuple[int, int], List[Tuple[int, int]]]] = []
+    blk_layout: List[Dict[Tuple[int, int, int],
+                          List[Tuple[int, int]]]] = []
     for li, lset in enumerate(hier.linked_sets):
         if lset_block[li] < 0:
             continue
         mts = tuple(int(g_tmpl[gi]) for gi in lset)
-        J, I = int(g_box[lset[0], 0]), int(g_box[lset[0], 1])
+        K, J, I = (int(g_box[lset[0], 0]), int(g_box[lset[0], 1]),
+                   int(g_box[lset[0], 2]))
         for gi in lset:
-            if (int(g_box[gi, 0]), int(g_box[gi, 1])) != (J, I):
+            if tuple(int(v) for v in g_box[gi]) != (K, J, I):
                 raise _Fallback("linked set spans boxes")
         ci = combo_key.get(mts)
         if ci is None:
@@ -323,15 +362,14 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
             combo_key[mts] = ci
             combos.append(SCombo(
                 members=list(mts), m=m,
-                blk_map=np.full((nJ, nI), -1, dtype=np.int64),
-                valid=np.zeros((nJ, nI), dtype=bool)))
-            combo_inst.append([])
+                blk_map=np.full((nK, nJ, nI), -1, dtype=np.int64),
+                valid=np.zeros((nK, nJ, nI), dtype=bool)))
             blk_layout.append({})
         C = combos[ci]
-        if C.blk_map[J, I] >= 0:
+        if C.blk_map[K, J, I] >= 0:
             raise _Fallback("duplicate combo instance")
-        C.blk_map[J, I] = lset_block[li]
-        C.valid[J, I] = True
+        C.blk_map[K, J, I] = lset_block[li]
+        C.valid[K, J, I] = True
         # generic block slot layout: concat of instance [1:] runs
         lay: List[Tuple[int, int]] = []       # (member_rank, canon pos-1)
         for r, gi in enumerate(lset):
@@ -340,7 +378,7 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
                 [int(x) for x in T.chs])}
             for c in g_chs[gi][1:]:
                 lay.append((r, ch_rank[int(c)] - 1))
-        blk_layout[ci][(J, I)] = lay
+        blk_layout[ci][(K, J, I)] = lay
 
     # a template must appear in at most one combo (its non-Vsum slots
     # are solved by exactly one block)
@@ -353,22 +391,22 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
 
     # class signature = everything per-box the folds depend on
     sig_of: Dict[Tuple, int] = {}
-    class_of = np.zeros((nJ, nI), dtype=np.int64)
+    class_of = np.zeros((nK, nJ, nI), dtype=np.int64)
     cls_sigs: List[Tuple] = []
     for sd in range(n_sd):
-        J, I = divmod(sd, nI)
+        K, J, I = box_of(sd)
         blk_sig = []
         for ci, C in enumerate(combos):
-            blk_sig.append(tuple(blk_layout[ci].get((J, I), ())))
+            blk_sig.append(tuple(blk_layout[ci].get((K, J, I), ())))
         sig = (tuple(int_chs[sd]), tuple(ns_layout[sd]), tuple(blk_sig))
         c = sig_of.get(sig)
         if c is None:
             c = len(cls_sigs)
             sig_of[sig] = c
             cls_sigs.append(sig)
-        class_of[J, I] = c
+        class_of[K, J, I] = c
     n_class = len(cls_sigs)
-    if n_class > 64:
+    if n_class > 96:
         raise _Fallback("too many box classes")
 
     # fold matrices per class
@@ -388,15 +426,16 @@ def _detect_level(plan, hier, coords, dims, ni_pad, ns_pad, mb_pad):
             for slot, (r, p) in enumerate(bl):
                 embs[ci][c, starts[r] + p, slot] = 1.0
 
-    lev = SLevel(nJ=nJ, nI=nI, NCH=NCH, NC=NC, ni_pad=ni_pad,
-                 ns_pad=ns_pad, blk_factors=(0, 0), in_chan=0,
+    lev = SLevel(nK=nK, nJ=nJ, nI=nI, NCH=NCH, NC=NC, ni_pad=ni_pad,
+                 ns_pad=ns_pad, blk_factors=(0, 0, 0), in_chan=0,
                  templates=templates, combos=combos, class_of=class_of,
                  sel=sel, pc=pcm, emb=embs, n_class=n_class)
-    # map for next level: vsum GID -> (J, I, template)
-    vmap: Dict[int, Tuple[int, int, int]] = {}
+    # map for next level: vsum GID -> (K, J, I, template)
+    vmap: Dict[int, Tuple[int, int, int, int]] = {}
     for gi in range(n_groups):
         vmap[int(groups[gi].nodes[0])] = (
-            int(g_box[gi, 0]), int(g_box[gi, 1]), int(g_tmpl[gi]))
+            int(g_box[gi, 0]), int(g_box[gi, 1]), int(g_box[gi, 2]),
+            int(g_tmpl[gi]))
     return lev, vmap
 
 
@@ -412,15 +451,11 @@ def build_structured_program(precond) -> Optional["StructuredProgram"]:
 
 
 def _build_impl(precond):
-    from ..partition.cartesian import CartesianPartitioner
+    from ..grid import X_PERIO, Y_PERIO, Z_PERIO
 
     g = precond.grid
     if precond.partitioner_type != "Cartesian":
         raise _Fallback("non-Cartesian partitioner")
-    if g.nz > 1:
-        raise _Fallback("3D not yet structured")
-    if g.perio:
-        raise _Fallback("periodic grid")
     if getattr(precond, "_bgrid_T", None) is not None:
         raise _Fallback("B-grid transform")
     if precond.max_level < 1:
@@ -433,34 +468,49 @@ def _build_impl(precond):
     if parts is None or len(parts) != precond.max_level:
         raise _Fallback("level partition params unavailable")
 
+    periodic = (bool(g.perio & Z_PERIO), bool(g.perio & Y_PERIO),
+                bool(g.perio & X_PERIO))
     dof = g.dof
     levels: List[SLevel] = []
     nodes = np.arange(g.num_nodes, dtype=np.int64)
 
+    def box_dims(part):
+        """Box grid (nK, nJ, nI) of one level over the original grid."""
+        if g.nz == 1:
+            nKb, szK = 1, 1
+        else:
+            if g.nz % part.sz:
+                raise _Fallback("grid not divisible by separator length")
+            nKb, szK = g.nz // part.sz, part.sz
+        if g.nx % part.sx or g.ny % part.sy:
+            raise _Fallback("grid not divisible by separator length")
+        return (nKb, g.ny // part.sy, g.nx // part.sx), szK
+
     # level-0 coordinates
     p0 = parts[0]
-    if g.nx % p0.sx or g.ny % p0.sy:
-        raise _Fallback("grid not divisible by separator length")
-    nJ, nI = g.ny // p0.sy, g.nx // p0.sx
-    NCH = p0.sy * p0.sx * dof
+    (nK, nJ, nI), szK0 = box_dims(p0)
+    NCH = szK0 * p0.sy * p0.sx * dof
 
     def coords_from_grid(gids):
         d = gids % dof
         cell = gids // dof
         x = cell % g.nx
-        y = cell // g.nx
+        y = (cell // g.nx) % g.ny
+        z = cell // (g.nx * g.ny)
+        K = z // szK0
         J = y // p0.sy
         I = x // p0.sx
-        ch = ((y % p0.sy) * p0.sx + (x % p0.sx)) * dof + d
-        return J, I, ch
+        ch = (((z % szK0) * p0.sy + (y % p0.sy)) * p0.sx
+              + (x % p0.sx)) * dof + d
+        return K, J, I, ch
 
     coords = coords_from_grid(nodes)
-    blk0 = (p0.sy, p0.sx)
+    blk0 = (szK0, p0.sy, p0.sx)
     in_chan0 = dof
 
-    vmap_prev: Optional[Dict[int, Tuple[int, int, int]]] = None
+    vmap_prev: Optional[Dict[int, Tuple[int, int, int, int]]] = None
     NT_prev = 0
-    dims = (nJ, nI, NCH)
+    dims = (nK, nJ, nI, NCH)
 
     for lev in range(precond.max_level):
         plan = precond.plans[lev]
@@ -473,18 +523,20 @@ def _build_impl(precond):
         ni_pad = plan.int_pos.shape[1]
         ns_pad = plan.sd_sep_pos.shape[1]
         mb_pad = plan.blk_idx.shape[1] if plan.blk_idx.size else 1
-        slev, vmap = _detect_level(plan, hier, coords, dims,
+        slev, vmap = _detect_level(plan, hier, coords, dims, periodic,
                                    ni_pad, ns_pad, mb_pad)
         if lev == 0:
             slev.blk_factors = blk0
             slev.in_chan = in_chan0
         else:
-            cy = levels[-1].nJ // slev.nJ if slev.nJ else 0
-            cx = levels[-1].nI // slev.nI if slev.nI else 0
-            if cy * slev.nJ != levels[-1].nJ or \
-               cx * slev.nI != levels[-1].nI:
+            prev = levels[-1]
+            cz = prev.nK // slev.nK if slev.nK else 0
+            cy = prev.nJ // slev.nJ if slev.nJ else 0
+            cx = prev.nI // slev.nI if slev.nI else 0
+            if cz * slev.nK != prev.nK or cy * slev.nJ != prev.nJ or \
+               cx * slev.nI != prev.nI:
                 raise _Fallback("box grids not nested")
-            slev.blk_factors = (cy, cx)
+            slev.blk_factors = (cz, cy, cx)
             slev.in_chan = NT_prev
         levels.append(slev)
 
@@ -492,24 +544,25 @@ def _build_impl(precond):
         nodes = plan.next_nodes
         NT = len(slev.templates)
         if lev + 1 < precond.max_level:
-            pnext = parts[lev + 1]
-            if pnext.sx % parts[lev].sx or pnext.sy % parts[lev].sy:
-                raise _Fallback("non-nested separator lengths")
-            cx = pnext.sx // parts[lev].sx
-            cy = pnext.sy // parts[lev].sy
-            if slev.nI % cx or slev.nJ % cy:
+            (nKn, nJn, nIn), _ = box_dims(parts[lev + 1])
+            if slev.nK % nKn or slev.nJ % nJn or slev.nI % nIn:
                 raise _Fallback("box grid not divisible by coarsening")
-            nJn, nIn = slev.nJ // cy, slev.nI // cx
+            cz = slev.nK // nKn
+            cy = slev.nJ // nJn
+            cx = slev.nI // nIn
+            K = np.empty(nodes.size, dtype=np.int64)
             J = np.empty(nodes.size, dtype=np.int64)
             I = np.empty(nodes.size, dtype=np.int64)
             ch = np.empty(nodes.size, dtype=np.int64)
             for p, gid in enumerate(nodes):
-                j0, i0, t = vmap[int(gid)]
+                k0, j0, i0, t = vmap[int(gid)]
+                K[p] = k0 // cz
                 J[p] = j0 // cy
                 I[p] = i0 // cx
-                ch[p] = ((j0 % cy) * cx + (i0 % cx)) * NT + t
-            coords = (J, I, ch)
-            dims = (nJn, nIn, cy * cx * NT)
+                ch[p] = (((k0 % cz) * cy + (j0 % cy)) * cx
+                         + (i0 % cx)) * NT + t
+            coords = (K, J, I, ch)
+            dims = (nKn, nJn, nIn, cz * cy * cx * NT)
         NT_prev = NT
         vmap_prev = vmap
 
@@ -518,10 +571,10 @@ def _build_impl(precond):
     NT = len(L.templates)
     n_c = nodes.size
     src = np.empty(n_c, dtype=np.int64)
-    back = np.full(L.nJ * L.nI * NT, n_c, dtype=np.int64)
+    back = np.full(L.nK * L.nJ * L.nI * NT, n_c, dtype=np.int64)
     for p, gid in enumerate(nodes):
-        j0, i0, t = vmap_prev[int(gid)]
-        flat = (j0 * L.nI + i0) * NT + t
+        k0, j0, i0, t = vmap_prev[int(gid)]
+        flat = ((k0 * L.nJ + j0) * L.nI + i0) * NT + t
         src[p] = flat
         back[flat] = p
     coarse = SCoarse(n=n_c, src=src, back=back)
@@ -545,7 +598,7 @@ class StructuredProgram:
         self.dtype = dtype
         self._const = []
         for L in levels:
-            cm = np.zeros((L.n_class, L.nJ, L.nI))
+            cm = np.zeros((L.n_class, L.nK, L.nJ, L.nI))
             for c in range(L.n_class):
                 cm[c] = (L.class_of == c)
             ech = []
@@ -576,20 +629,20 @@ class StructuredProgram:
         for lev, L in enumerate(self.levels):
             f = factors["levels"][lev]
             c = consts["levels"][lev]
-            nJ, nI = L.nJ, L.nI
-            A11 = f["A11inv"].reshape(nJ, nI, L.ni_pad, L.ni_pad)
-            A21 = f["A21"].reshape(nJ, nI, L.ns_pad, L.ni_pad)
-            G = f["G"].reshape(nJ, nI, L.ni_pad, L.ns_pad)
-            A11s = jnp.zeros((nJ, nI, L.NCH, L.NCH), A11.dtype)
-            A21s = jnp.zeros((nJ, nI, L.NC, L.NCH), A11.dtype)
-            Gs = jnp.zeros((nJ, nI, L.NCH, L.NC), A11.dtype)
+            nK, nJ, nI = L.nK, L.nJ, L.nI
+            A11 = f["A11inv"].reshape(nK, nJ, nI, L.ni_pad, L.ni_pad)
+            A21 = f["A21"].reshape(nK, nJ, nI, L.ns_pad, L.ni_pad)
+            G = f["G"].reshape(nK, nJ, nI, L.ni_pad, L.ns_pad)
+            A11s = jnp.zeros((nK, nJ, nI, L.NCH, L.NCH), A11.dtype)
+            A21s = jnp.zeros((nK, nJ, nI, L.NC, L.NCH), A11.dtype)
+            Gs = jnp.zeros((nK, nJ, nI, L.NCH, L.NC), A11.dtype)
             for ci in range(L.n_class):
-                m = c["class_mask"][ci][:, :, None, None]
+                m = c["class_mask"][ci][:, :, :, None, None]
                 s = c["sel"][ci]              # (NCH, ni)
                 p = c["pc"][ci]               # (NC, ns)
-                A11s = A11s + m * jnp.einsum("am,ijmn,bn->ijab", s, A11, s)
-                A21s = A21s + m * jnp.einsum("am,ijmn,bn->ijab", p, A21, s)
-                Gs = Gs + m * jnp.einsum("am,ijmn,bn->ijab", s, G, p)
+                A11s = A11s + m * jnp.einsum("am,kijmn,bn->kijab", s, A11, s)
+                A21s = A21s + m * jnp.einsum("am,kijmn,bn->kijab", p, A21, s)
+                Gs = Gs + m * jnp.einsum("am,kijmn,bn->kijab", s, G, p)
             blk = f["blkinv"]
             blk_ext = jnp.concatenate(
                 [blk, jnp.zeros((1,) + blk.shape[1:], blk.dtype)])
@@ -598,11 +651,11 @@ class StructuredProgram:
                 B = blk_ext[jnp.asarray(
                     np.where(C.blk_map >= 0, C.blk_map, blk.shape[0]),
                     jnp.int32)]
-                Bs = jnp.zeros((nJ, nI, C.m, C.m), B.dtype)
+                Bs = jnp.zeros((nK, nJ, nI, C.m, C.m), B.dtype)
                 for ci in range(L.n_class):
-                    m = c["class_mask"][ci][:, :, None, None]
+                    m = c["class_mask"][ci][:, :, :, None, None]
                     e = emb[ci]
-                    Bs = Bs + m * jnp.einsum("am,ijmn,bn->ijab", e, B, e)
+                    Bs = Bs + m * jnp.einsum("am,kijmn,bn->kijab", e, B, e)
                 combos.append(Bs)
             out["levels"].append(
                 {"A11": A11s, "A21": A21s, "G": Gs, "blk": combos})
@@ -618,25 +671,25 @@ class StructuredProgram:
         c = consts["levels"][lev]
         f = sfactors["levels"][lev]
         dtype = b.dtype
-        s0, s1 = L.blk_factors
-        nJ, nI = L.nJ, L.nI
+        bz, by, bx = L.blk_factors
+        nK, nJ, nI = L.nK, L.nJ, L.nI
 
-        r = b.reshape(nJ, s0, nI, s1, L.in_chan) \
-             .transpose(0, 2, 1, 3, 4).reshape(nJ, nI, L.NCH)
-        x1 = jnp.einsum("ijab,ijb->ija", f["A11"], r)
-        y2c = jnp.einsum("ijab,ijb->ija", f["A21"], x1)
+        r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
+             .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
+        x1 = jnp.einsum("kijab,kijb->kija", f["A11"], r)
+        y2c = jnp.einsum("kijab,kijb->kija", f["A21"], x1)
 
         # separator rhs per template: own values minus contributions
         # (channel extraction via static scalar slices — a vector-index
         # take would lower to a serialized TPU gather)
         tt = []
         for ti, T in enumerate(L.templates):
-            b2 = jnp.stack([r[:, :, int(ch)] for ch in T.chs], axis=-1)
+            b2 = jnp.stack([r[:, :, :, int(ch)] for ch in T.chs], axis=-1)
             acc = b2
-            for k, (dj, di) in enumerate(T.offsets):
-                sl = y2c[:, :, T.nc_base[k]:T.nc_base[k] + T.width]
-                if dj or di:
-                    sl = jnp.roll(sl, shift=(dj, di), axis=(0, 1))
+            for k, (dk, dj, di) in enumerate(T.offsets):
+                sl = y2c[:, :, :, T.nc_base[k]:T.nc_base[k] + T.width]
+                if dk or dj or di:
+                    sl = jnp.roll(sl, shift=(dk, dj, di), axis=(0, 1, 2))
                 acc = acc - sl
             # orthogonal transform (2ww' - I); degenerate groups: -I
             w = c["w"][ti]
@@ -647,20 +700,20 @@ class StructuredProgram:
         y_parts = [jnp.zeros_like(p) for p in tt]
         for C, B in zip(L.combos, f["blk"]):
             tb = jnp.concatenate(
-                [tt[m][:, :, 1:L.templates[m].width] for m in C.members],
+                [tt[m][:, :, :, 1:L.templates[m].width] for m in C.members],
                 axis=-1)
-            yb = jnp.einsum("ijab,ijb->ija", B, tb)
+            yb = jnp.einsum("kijab,kijb->kija", B, tb)
             off = 0
             for m in C.members:
                 w = L.templates[m].width - 1
                 if w:
-                    y_parts[m] = y_parts[m].at[:, :, 1:].set(
-                        yb[:, :, off:off + w])
+                    y_parts[m] = y_parts[m].at[:, :, :, 1:].set(
+                        yb[:, :, :, off:off + w])
                 off += w
 
         # Vsum rhs -> next level / coarse
-        vs = jnp.stack([p[:, :, 0] for p in tt], axis=-1) if tt \
-            else jnp.zeros((nJ, nI, 0), dtype)              # (nJ, nI, NT)
+        vs = jnp.stack([p[:, :, :, 0] for p in tt], axis=-1) if tt \
+            else jnp.zeros((nK, nJ, nI, 0), dtype)      # (nK, nJ, nI, NT)
         if lev + 1 < len(self.levels):
             x_next = self._apply_level(lev + 1, sfactors, consts, vs)
         else:
@@ -672,7 +725,7 @@ class StructuredProgram:
         # merge Vsum solutions, inverse transform, mask invalid slots
         x2 = []
         for ti, T in enumerate(L.templates):
-            y = y_parts[ti].at[:, :, 0].set(x_next[:, :, ti])
+            y = y_parts[ti].at[:, :, :, 0].set(x_next[:, :, :, ti])
             w = c["w"][ti]
             d = jnp.sum(w * y, axis=-1, keepdims=True)
             x2.append((2.0 * w * d - y) * c["slot_valid"][ti])
@@ -680,24 +733,24 @@ class StructuredProgram:
         # back-substitution
         x2c_parts = []
         for ti, T in enumerate(L.templates):
-            for k, (dj, di) in enumerate(T.offsets):
+            for k, (dk, dj, di) in enumerate(T.offsets):
                 sl = x2[ti]
-                if dj or di:
-                    sl = jnp.roll(sl, shift=(-dj, -di), axis=(0, 1))
+                if dk or dj or di:
+                    sl = jnp.roll(sl, shift=(-dk, -dj, -di), axis=(0, 1, 2))
                 x2c_parts.append(sl)
         if x2c_parts:
-            x2c = jnp.concatenate(x2c_parts, axis=-1)       # (nJ, nI, NC)
-            x1 = x1 - jnp.einsum("ijab,ijb->ija", f["G"], x2c)
+            x2c = jnp.concatenate(x2c_parts, axis=-1)   # (nK, nJ, nI, NC)
+            x1 = x1 - jnp.einsum("kijab,kijb->kija", f["G"], x2c)
 
         # merge separators into the channel vector (valid slots are
         # disjoint across templates; invalid slots are zero in x2; the
         # one-hot einsum is the scatter-free embed)
         out = x1
         for ti, T in enumerate(L.templates):
-            out = out + jnp.einsum("aw,ijw->ija", c["ech"][ti], x2[ti])
+            out = out + jnp.einsum("aw,kijw->kija", c["ech"][ti], x2[ti])
 
-        out = out.reshape(nJ, nI, s0, s1, L.in_chan) \
-                 .transpose(0, 2, 1, 3, 4)
+        out = out.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \
+                 .transpose(0, 3, 1, 4, 2, 5, 6)
         if lev == 0:
             return out.reshape(-1)
-        return out.reshape(nJ * s0, nI * s1, L.in_chan)
+        return out.reshape(nK * bz, nJ * by, nI * bx, L.in_chan)

@@ -15,9 +15,9 @@ from hymls_tpu.stencils import create_matrix, create_testvector
 from hymls_tpu.core.preconditioner import Preconditioner
 
 
-def _build(eq, prob, prec):
+def _build(eq, prob, prec, dim=2):
     params = Params({
-        "Problem": dict(Equations=eq, Dimension=2, **prob),
+        "Problem": dict(Equations=eq, Dimension=dim, **prob),
         "Preconditioner": dict({"Separator Length": 4}, **prec),
     })
     K = create_matrix(params)
@@ -42,12 +42,28 @@ CASES = [
     ("Stokes-C", {"nx": 32, "ny": 32},
      {"Number of Levels": 2, "Preconditioner Variant": "Lower Triangular"}),
     ("Darcy", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+    # periodic grids (contribution exchange wraps via jnp.roll)
+    ("Laplace", {"nx": 16, "ny": 16, "x-periodic": True},
+     {"Number of Levels": 1}),
+    ("Laplace", {"nx": 32, "ny": 32, "x-periodic": True,
+                 "y-periodic": True}, {"Number of Levels": 2}),
+]
+
+CASES_3D = [
+    ("Laplace", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
+    ("Laplace", {"nx": 16, "ny": 16, "nz": 16}, {"Number of Levels": 2}),
+    ("Stokes-C", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
+    ("Darcy", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
+    ("Laplace", {"nx": 8, "ny": 8, "nz": 8, "z-periodic": True},
+     {"Number of Levels": 1}),
 ]
 
 
-@pytest.mark.parametrize("eq,prob,prec", CASES)
-def test_structured_matches_generic(eq, prob, prec):
-    K, P = _build(eq, prob, prec)
+@pytest.mark.parametrize("eq,prob,prec,dim",
+                         [c + (2,) for c in CASES]
+                         + [c + (3,) for c in CASES_3D])
+def test_structured_matches_generic(eq, prob, prec, dim):
+    K, P = _build(eq, prob, prec, dim)
     assert P._structured is not None, \
         f"expected structured path, got fallback: " \
         f"{getattr(P, '_structured_reason', '')}"

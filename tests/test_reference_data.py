@@ -42,3 +42,29 @@ def test_reference_cavity(size, re, nx):
     assert bool(res.converged)
     assert int(res.iters) <= 250   # cavity.xml target
     assert relres < 1e-10
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference data absent")
+def test_reference_cavity3d():
+    """cavity3D role (BASELINE.json configs): the 16^3 dataset on the
+    structured 3D Cartesian path."""
+    K, b, x_ex, ns, mass = read_linear_system(f"{DATA}/16x16x16/Re0")
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 3,
+                    "nx": 16, "ny": 16, "nz": 16},
+        "Solver": {"Krylov Method": "GMRES", "Initial Vector": "Zero",
+                   "Left or Right Preconditioning": "Right",
+                   "Iterative Solver": {"Maximum Iterations": 250,
+                                        "Convergence Tolerance": 1e-12}},
+        "Preconditioner": {"Partitioner": "Cartesian",
+                           "Separator Length": 4, "Number of Levels": 1}})
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv).compute()
+    assert P._structured is not None, \
+        getattr(P, "_structured_reason", "")
+    S = Solver(K, P, params)
+    x, res = S.apply_inverse(b)
+    x = np.asarray(x)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert int(res.iters) <= 250   # cavity.xml iteration envelope
+    assert relres < 1e-10

@@ -20,11 +20,15 @@ from hymls_tpu.stencils import create_testvector
 from hymls_tpu.solvers.mixed import IterativeRefinementSolver
 
 size, re = (sys.argv[1], sys.argv[2]) if len(sys.argv) > 2 else ("64x64", "Re1000")
-nx = int(size.split("x")[0])
+dims = [int(v) for v in size.split("x")]
+nx, dim = dims[0], len(dims)
 data = f"/root/reference/testSuite/data/DrivenCavity/{size}/{re}"
 K, b, x_ex, ns, mass = read_linear_system(data)
+prob = {"Equations": "Stokes-C", "Dimension": dim, "nx": nx, "ny": nx}
+if dim == 3:
+    prob["nz"] = nx
 params = Params({
-    "Problem": {"Equations": "Stokes-C", "Dimension": 2, "nx": nx, "ny": nx},
+    "Problem": prob,
     "Solver": {"Krylov Method": "GMRES",
                "Left or Right Preconditioning": "Right",
                "Iterative Solver": {"Maximum Iterations": 250,

@@ -597,24 +597,69 @@ class StructuredProgram:
         self.coarse = coarse
         self.dtype = dtype
         self._const = []
+        # static (per level) distinct contributor offsets; the fold
+        # matrices indexed alongside them live in consts
+        self._offsets: List[List[Off]] = []
+        self._sw: List[int] = []
         for L in levels:
             cm = np.zeros((L.n_class, L.nK, L.nJ, L.nI))
             for c in range(L.n_class):
                 cm[c] = (L.class_of == c)
-            ech = []
-            for T in L.templates:
-                E = np.zeros((L.NCH, T.width))
-                E[T.chs, np.arange(T.width)] = 1.0
-                ech.append(jnp.asarray(E, dtype))
+
+            # -- flat slot space: all templates' slots concatenated ------
+            # (turns the per-template loops of the apply into a handful
+            # of one-hot matmuls: TPU op dispatch costs ~3us/op, so at
+            # small-to-mid problem sizes op COUNT, not bandwidth, bounds
+            # the iteration time)
+            NT = len(L.templates)
+            sbase = np.cumsum([0] + [T.width for T in L.templates])
+            SW = int(sbase[-1])
+            E = np.zeros((L.NCH, max(SW, 1)))       # channel <-> slot
+            S = np.zeros((max(SW, 1), max(NT, 1)))  # slot -> its template
+            V = np.zeros((max(SW, 1), max(NT, 1)))  # Vsum slot indicator
+            wf = np.zeros((L.nK, L.nJ, L.nI, max(SW, 1)))
+            svf = np.zeros((L.nK, L.nJ, L.nI, max(SW, 1)))
+            offsets: Dict[Off, np.ndarray] = {}
+            for ti, T in enumerate(L.templates):
+                sl = slice(sbase[ti], sbase[ti] + T.width)
+                E[T.chs, np.arange(sbase[ti], sbase[ti] + T.width)] = 1.0
+                S[sl, ti] = 1.0
+                V[sbase[ti], ti] = 1.0
+                wf[..., sl] = T.w
+                svf[..., sl] = T.slot_valid
+                for k, off in enumerate(T.offsets):
+                    M = offsets.setdefault(
+                        off, np.zeros((max(L.NC, 1), max(SW, 1))))
+                    M[np.arange(T.nc_base[k], T.nc_base[k] + T.width),
+                      np.arange(sbase[ti], sbase[ti] + T.width)] = 1.0
+            off_list = sorted(offsets.keys())
+            self._offsets.append(off_list)
+            self._sw.append(SW)
+
+            # per-combo non-Vsum slot extraction (slot -> block slot)
+            X = []
+            for C in L.combos:
+                starts = np.cumsum(
+                    [0] + [L.templates[t].width - 1 for t in C.members])
+                Xc = np.zeros((max(SW, 1), C.m))
+                for r, t in enumerate(C.members):
+                    Wt = L.templates[t].width
+                    Xc[np.arange(sbase[t] + 1, sbase[t] + Wt),
+                       np.arange(starts[r], starts[r] + Wt - 1)] = 1.0
+                X.append(jnp.asarray(Xc, dtype))
+
             self._const.append({
                 "class_mask": jnp.asarray(cm, dtype),
                 "sel": jnp.asarray(L.sel, dtype),
                 "pc": jnp.asarray(L.pc, dtype),
                 "emb": [jnp.asarray(e, dtype) for e in L.emb],
-                "w": [jnp.asarray(T.w, dtype) for T in L.templates],
-                "slot_valid": [jnp.asarray(T.slot_valid, dtype)
-                               for T in L.templates],
-                "ech": ech,
+                "E": jnp.asarray(E, dtype),
+                "S": jnp.asarray(S, dtype),
+                "V": jnp.asarray(V, dtype),
+                "wf": jnp.asarray(wf, dtype),
+                "svf": jnp.asarray(svf, dtype),
+                "offM": [jnp.asarray(offsets[o], dtype) for o in off_list],
+                "X": X,
             })
         self._coarse_const = {
             "src": jnp.asarray(coarse.src, jnp.int32),
@@ -667,53 +712,61 @@ class StructuredProgram:
         return self._apply_level(0, sfactors, consts, b)
 
     def _apply_level(self, lev, sfactors, consts, b):
+        # All separator work happens in the flat slot space (every
+        # template's slots concatenated, SW channels): a handful of
+        # one-hot matmul folds + one roll per DISTINCT neighbor offset
+        # replaces the per-template/per-role op soup — TPU op dispatch
+        # costs ~3us/op, so op count bounds small-problem iterations.
+        import jax.lax as lax
+        HI = lax.Precision.HIGHEST     # one-hot folds must not round data
         L = self.levels[lev]
         c = consts["levels"][lev]
         f = sfactors["levels"][lev]
         dtype = b.dtype
         bz, by, bx = L.blk_factors
         nK, nJ, nI = L.nK, L.nJ, L.nI
+        NT = len(L.templates)
+        offs = self._offsets[lev]
+        SW = self._sw[lev]
 
         r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
              .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
         x1 = jnp.einsum("kijab,kijb->kija", f["A11"], r)
+
+        if SW == 0:
+            # no separators at this level (degenerate); interior only
+            out = x1.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \
+                    .transpose(0, 3, 1, 4, 2, 5, 6)
+            return out.reshape(-1) if lev == 0 else \
+                out.reshape(nK * bz, nJ * by, nI * bx, L.in_chan)
+
         y2c = jnp.einsum("kijab,kijb->kija", f["A21"], x1)
 
-        # separator rhs per template: own values minus contributions
-        # (channel extraction via static scalar slices — a vector-index
-        # take would lower to a serialized TPU gather)
-        tt = []
-        for ti, T in enumerate(L.templates):
-            b2 = jnp.stack([r[:, :, :, int(ch)] for ch in T.chs], axis=-1)
-            acc = b2
-            for k, (dk, dj, di) in enumerate(T.offsets):
-                sl = y2c[:, :, :, T.nc_base[k]:T.nc_base[k] + T.width]
-                if dk or dj or di:
-                    sl = jnp.roll(sl, shift=(dk, dj, di), axis=(0, 1, 2))
-                acc = acc - sl
-            # orthogonal transform (2ww' - I); degenerate groups: -I
-            w = c["w"][ti]
-            d = jnp.sum(w * acc, axis=-1, keepdims=True)
-            tt.append(2.0 * w * d - acc)
+        # separator rhs: own values minus neighbor contributions
+        acc = jnp.einsum("kijc,cs->kijs", r, c["E"], precision=HI)
+        for o, M in zip(offs, c["offM"]):
+            sl = y2c
+            if any(o):
+                sl = jnp.roll(sl, shift=o, axis=(0, 1, 2))
+            acc = acc - jnp.einsum("kijn,ns->kijs", sl, M, precision=HI)
 
-        # non-Vsum block solves
-        y_parts = [jnp.zeros_like(p) for p in tt]
-        for C, B in zip(L.combos, f["blk"]):
-            tb = jnp.concatenate(
-                [tt[m][:, :, :, 1:L.templates[m].width] for m in C.members],
-                axis=-1)
+        # orthogonal transform (2ww' - I per template; degenerate
+        # groups have w=0 -> -I), via segment-indicator folds
+        wf = c["wf"]
+        d = jnp.einsum("kijs,st->kijt", wf * acc, c["S"], precision=HI)
+        tt = 2.0 * wf * jnp.einsum("kijt,st->kijs", d, c["S"],
+                                   precision=HI) - acc
+
+        # non-Vsum block solves (disjoint slot sets per combo)
+        y_all = jnp.zeros_like(tt)
+        for B, X in zip(f["blk"], c["X"]):
+            tb = jnp.einsum("kijs,sm->kijm", tt, X, precision=HI)
             yb = jnp.einsum("kijab,kijb->kija", B, tb)
-            off = 0
-            for m in C.members:
-                w = L.templates[m].width - 1
-                if w:
-                    y_parts[m] = y_parts[m].at[:, :, :, 1:].set(
-                        yb[:, :, :, off:off + w])
-                off += w
+            y_all = y_all + jnp.einsum("kijm,sm->kijs", yb, X,
+                                       precision=HI)
 
         # Vsum rhs -> next level / coarse
-        vs = jnp.stack([p[:, :, :, 0] for p in tt], axis=-1) if tt \
-            else jnp.zeros((nK, nJ, nI, 0), dtype)      # (nK, nJ, nI, NT)
+        vs = jnp.einsum("kijs,st->kijt", tt, c["V"], precision=HI)
         if lev + 1 < len(self.levels):
             x_next = self._apply_level(lev + 1, sfactors, consts, vs)
         else:
@@ -722,32 +775,30 @@ class StructuredProgram:
             sol_ext = jnp.concatenate([sol, jnp.zeros((1,), dtype)])
             x_next = sol_ext[consts["coarse"]["back"]].reshape(vs.shape)
 
-        # merge Vsum solutions, inverse transform, mask invalid slots
-        x2 = []
-        for ti, T in enumerate(L.templates):
-            y = y_parts[ti].at[:, :, :, 0].set(x_next[:, :, :, ti])
-            w = c["w"][ti]
-            d = jnp.sum(w * y, axis=-1, keepdims=True)
-            x2.append((2.0 * w * d - y) * c["slot_valid"][ti])
+        # merge Vsum solutions (block solves left those slots zero),
+        # inverse transform, mask invalid slots
+        y_all = y_all + jnp.einsum("kijt,st->kijs", x_next, c["V"],
+                                   precision=HI)
+        d2 = jnp.einsum("kijs,st->kijt", wf * y_all, c["S"], precision=HI)
+        x2 = (2.0 * wf * jnp.einsum("kijt,st->kijs", d2, c["S"],
+                                    precision=HI) - y_all) * c["svf"]
 
-        # back-substitution
-        x2c_parts = []
-        for ti, T in enumerate(L.templates):
-            for k, (dk, dj, di) in enumerate(T.offsets):
-                sl = x2[ti]
-                if dk or dj or di:
-                    sl = jnp.roll(sl, shift=(-dk, -dj, -di), axis=(0, 1, 2))
-                x2c_parts.append(sl)
-        if x2c_parts:
-            x2c = jnp.concatenate(x2c_parts, axis=-1)   # (nK, nJ, nI, NC)
+        # back-substitution: x2 scattered to contributor layout (NC)
+        x2c = None
+        for o, M in zip(offs, c["offM"]):
+            sl = x2
+            if any(o):
+                sl = jnp.roll(sl, shift=tuple(-v for v in o),
+                              axis=(0, 1, 2))
+            part = jnp.einsum("kijs,ns->kijn", sl, M, precision=HI)
+            x2c = part if x2c is None else x2c + part
+        if x2c is not None:
             x1 = x1 - jnp.einsum("kijab,kijb->kija", f["G"], x2c)
 
         # merge separators into the channel vector (valid slots are
         # disjoint across templates; invalid slots are zero in x2; the
         # one-hot einsum is the scatter-free embed)
-        out = x1
-        for ti, T in enumerate(L.templates):
-            out = out + jnp.einsum("aw,kijw->kija", c["ech"][ti], x2[ti])
+        out = x1 + jnp.einsum("kijs,cs->kijc", x2, c["E"], precision=HI)
 
         out = out.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \
                  .transpose(0, 3, 1, 4, 2, 5, 6)

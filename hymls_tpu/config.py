@@ -125,3 +125,30 @@ def loads_xml(text: str) -> Params:
     if root.tag != "ParameterList":
         root = root.find("ParameterList")
     return _parse_list(root)
+
+
+def _emit_list(params: Params, name: str) -> ET.Element:
+    elem = ET.Element("ParameterList", name=name)
+    for key in params.keys():
+        val = params[key]
+        if isinstance(val, Params):
+            elem.append(_emit_list(val, key))
+        else:
+            if isinstance(val, bool):
+                t, s = "bool", ("true" if val else "false")
+            elif isinstance(val, int):
+                t, s = "int", str(val)
+            elif isinstance(val, float):
+                t, s = "double", repr(val)
+            else:
+                t, s = "string", str(val)
+            ET.SubElement(elem, "Parameter", name=key, type=t, value=s)
+    return elem
+
+
+def save_xml(params: Params, path: str, name: str = "") -> None:
+    """Write Params as Teuchos-ParameterList XML (the reference's
+    final-parameter-list dump format, reference src/main.cpp:492-509)."""
+    root = _emit_list(params, name or getattr(params, "name", "") or "")
+    ET.indent(ET.ElementTree(root))
+    ET.ElementTree(root).write(path, encoding="unicode")

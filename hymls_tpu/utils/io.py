@@ -47,6 +47,14 @@ def write_vector(path: str, v) -> None:
     sio.mmwrite(path, np.asarray(v).reshape(-1, 1))
 
 
+def write_multivector(path: str, v) -> None:
+    """Write a dense (n, m) multivector in MatrixMarket array format."""
+    v = np.asarray(v)
+    if v.ndim == 1:
+        v = v.reshape(-1, 1)
+    sio.mmwrite(path, v)
+
+
 def read_multivector(path: str) -> Optional[np.ndarray]:
     """Read a dense multivector: MatrixMarket, or the Epetra debug-dump
     format ('Epetra::MultiVector  MyPID  GID  Value...') that some

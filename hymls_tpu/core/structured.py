@@ -99,6 +99,15 @@ class SLevel:
     pc: Optional[np.ndarray] = None         # (n_class, NC, ns_pad)
     emb: Optional[List[np.ndarray]] = None  # per combo (n_class, m, mb_pad)
     n_class: int = 0
+    # perm-mode levels (skew lattices): level input/output is the flat
+    # node vector; entry/exit are index maps instead of reshapes
+    mode: str = "reshape"
+    sd_of_box: Optional[np.ndarray] = None  # (nK,nJ,nI) -> sd (+sentinel)
+    entry: Optional[np.ndarray] = None      # (nK,nJ,nI,NCH) -> input pos
+    exit: Optional[np.ndarray] = None       # (n_nodes,) -> flat box chan
+    up: Optional[np.ndarray] = None         # (nK*nJ*nI*NT,) -> child out
+    n_nodes: int = 0
+    in_size: int = 0                        # entry sentinel value
 
 
 @dataclass
@@ -159,19 +168,36 @@ def _canon_off(raw: int, n: int, periodic: bool) -> int:
 # detection
 # ---------------------------------------------------------------------------
 
-def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
+def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad,
+                  mb_pad, sd_box=None):
     """Build one SLevel.  coords: (n_nodes_level,) -> (K, J, I, ch)
     arrays (positions in the level node vector).  dims = (nK, nJ, nI,
-    NCH); periodic = per-axis wrap flags (pz, py, px).  Raises
-    _Fallback on any violated assumption."""
+    NCH); periodic = per-axis wrap flags (pz, py, px).  sd_box: explicit
+    (n_sd, 3) subdomain -> box assignment (skew lattices; boxes without
+    a subdomain are allowed and masked).  None = dense row-major boxes
+    (Cartesian).  Raises _Fallback on any violated assumption."""
     nK, nJ, nI, NCH = dims
     cK, cJ, cI, cCH = coords
     n_sd = hier.num_subdomains
-    if n_sd != nK * nJ * nI:
-        raise _Fallback("subdomain count != box grid")
+    if sd_box is None:
+        if n_sd != nK * nJ * nI:
+            raise _Fallback("subdomain count != box grid")
+        sd_ids = np.arange(n_sd)
+        sd_box = np.stack([sd_ids // (nJ * nI), (sd_ids // nI) % nJ,
+                           sd_ids % nI], axis=1)
+    else:
+        sd_box = np.asarray(sd_box, dtype=np.int64)
+        if sd_box.shape != (n_sd, 3):
+            raise _Fallback("sd_box shape mismatch")
+        flat = (sd_box[:, 0] * nJ + sd_box[:, 1]) * nI + sd_box[:, 2]
+        if flat.min() < 0 or flat.max() >= nK * nJ * nI or \
+                np.unique(flat).size != n_sd:
+            raise _Fallback("sd_box not injective")
+    sd_at: Dict[Tuple[int, int, int], int] = {
+        tuple(int(v) for v in sd_box[sd]): sd for sd in range(n_sd)}
 
     def box_of(sd):
-        return sd // (nJ * nI), (sd // nI) % nJ, sd % nI
+        return tuple(int(v) for v in sd_box[sd])
 
     groups = hier.groups
     n_groups = len(groups)
@@ -201,11 +227,14 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
             for r, gi in enumerate(lst):
                 occ_of[gi] = r
 
-    # template clustering
-    tmpl_key: Dict[Tuple[int, int], int] = {}
+    # template clustering; the leading (Vsum) channel is part of the
+    # key so every instance of a template has its Vsum carrier at
+    # canonical slot 0 (boundary-truncated instances that START at a
+    # different node become their own template)
+    tmpl_key: Dict[Tuple[int, int, int], int] = {}
     tmpl_groups: List[List[int]] = []
     for gi in range(n_groups):
-        key = (groups[gi].type, int(occ_of[gi]))
+        key = (groups[gi].type, int(occ_of[gi]), int(g_chs[gi][0]))
         ti = tmpl_key.get(key)
         if ti is None:
             ti = len(tmpl_groups)
@@ -257,6 +286,15 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
         return tuple(_canon_off(raw[a], ns_grid[a], periodic[a])
                      for a in range(3))
 
+    # Role absence needs no explicit masks: the per-class pc/sel folds
+    # zero every NC channel a subdomain does not actually contribute,
+    # so a boundary instance missing a role reads an exact zero, and a
+    # roll that wraps off-grid carries only zeros (the wrapped source
+    # box has the role only if ITS owner is on-grid, in which case the
+    # modular shift lands it exactly there).  Offsets are therefore
+    # just the union over instances; two true roles collapsing onto
+    # one canonical offset (tiny periodic grids) also sum correctly
+    # through the shared fold row.
     contrib: List[Dict[Off, int]] = [dict() for _ in templates]
     for sd in range(n_sd):
         K, J, I = box_of(sd)
@@ -267,29 +305,7 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
                           int(g_box[gi, 2]) - I))
             contrib[ti][off] = contrib[ti].get(off, 0) + 1
     for ti, T in enumerate(templates):
-        offs = sorted(contrib[ti].keys())
-        n_inst = len(tmpl_groups[ti])
-        for off in offs:
-            # every instance must be fed by every contributor role
-            # exactly once (a count > n_inst means two roles collapsed
-            # onto one canonical offset — tiny periodic box grids)
-            if contrib[ti][off] != n_inst:
-                raise _Fallback("irregular contributor pattern")
-        T.offsets = offs
-
-    # contributor boxes must exist on-grid for every instance
-    # (non-periodic axes only — periodic axes wrap via jnp.roll)
-    for ti, T in enumerate(templates):
-        Ks, Js, Is = np.nonzero(T.valid)
-        pos = (Ks, Js, Is)
-        for off in T.offsets:
-            for a in range(3):
-                if periodic[a]:
-                    continue
-                lo = (pos[a] - off[a]).min()
-                hi = (pos[a] - off[a]).max()
-                if lo < 0 or hi >= ns_grid[a]:
-                    raise _Fallback("contributor outside grid")
+        T.offsets = sorted(contrib[ti].keys())
 
     # NS / NC layouts
     base = 0
@@ -390,21 +406,29 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
             seen_t.add(t)
 
     # class signature = everything per-box the folds depend on
+    # (boxes without a subdomain — skew lattice corners — get the
+    # empty signature: zero folds, zero factors)
     sig_of: Dict[Tuple, int] = {}
     class_of = np.zeros((nK, nJ, nI), dtype=np.int64)
     cls_sigs: List[Tuple] = []
-    for sd in range(n_sd):
-        K, J, I = box_of(sd)
-        blk_sig = []
-        for ci, C in enumerate(combos):
-            blk_sig.append(tuple(blk_layout[ci].get((K, J, I), ())))
-        sig = (tuple(int_chs[sd]), tuple(ns_layout[sd]), tuple(blk_sig))
-        c = sig_of.get(sig)
-        if c is None:
-            c = len(cls_sigs)
-            sig_of[sig] = c
-            cls_sigs.append(sig)
-        class_of[K, J, I] = c
+    for K in range(nK):
+        for J in range(nJ):
+            for I in range(nI):
+                sd = sd_at.get((K, J, I))
+                blk_sig = tuple(
+                    tuple(blk_layout[ci].get((K, J, I), ()))
+                    for ci in range(len(combos)))
+                if sd is None:
+                    sig = ((), (), blk_sig)
+                else:
+                    sig = (tuple(int_chs[sd]), tuple(ns_layout[sd]),
+                           blk_sig)
+                c = sig_of.get(sig)
+                if c is None:
+                    c = len(cls_sigs)
+                    sig_of[sig] = c
+                    cls_sigs.append(sig)
+                class_of[K, J, I] = c
     n_class = len(cls_sigs)
     if n_class > 96:
         raise _Fallback("too many box classes")
@@ -426,10 +450,14 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad, mb_pad):
             for slot, (r, p) in enumerate(bl):
                 embs[ci][c, starts[r] + p, slot] = 1.0
 
+    sd_of_box = np.full((nK, nJ, nI), n_sd, dtype=np.int64)
+    for sd in range(n_sd):
+        sd_of_box[tuple(sd_box[sd])] = sd
     lev = SLevel(nK=nK, nJ=nJ, nI=nI, NCH=NCH, NC=NC, ni_pad=ni_pad,
                  ns_pad=ns_pad, blk_factors=(0, 0, 0), in_chan=0,
                  templates=templates, combos=combos, class_of=class_of,
-                 sel=sel, pc=pcm, emb=embs, n_class=n_class)
+                 sel=sel, pc=pcm, emb=embs, n_class=n_class,
+                 sd_of_box=sd_of_box)
     # map for next level: vsum GID -> (K, J, I, template)
     vmap: Dict[int, Tuple[int, int, int, int]] = {}
     for gi in range(n_groups):
@@ -450,12 +478,161 @@ def build_structured_program(precond) -> Optional["StructuredProgram"]:
         return None
 
 
+def _build_skew(precond, parts):
+    """Structured program for the Skew-Cartesian (diamond) partitioner.
+
+    Diamond centers form a SQUARE lattice in the rotated coordinates
+    (A, B) = ((x+y)/sx, (x-y)/sx), so all separator/contribution
+    machinery of `_detect_level` applies verbatim with (A, B) as the
+    box axes (boxes without a diamond — lattice corners — are masked).
+    What cannot be a reshape is the node <-> (box, channel) map, so
+    every skew level runs in 'perm' mode: one static index gather on
+    entry and one on the solution path per level, on geometrically
+    shrinking vectors; everything between is the same roll+fold
+    program as the Cartesian case.
+
+    Node -> box assignment follows OWNERSHIP (interior nodes -> their
+    subdomain, separator nodes -> the group owner's subdomain,
+    reference HYMLS_HierarchicalMap group ownership), which absorbs
+    the partitioner's boundary reassignment rules; channels enumerate
+    the observed (dy, dx, dof) offsets from the owning diamond's
+    center."""
+    from ..partition.skew import SkewCartesianPartitioner
+
+    g = precond.grid
+    if g.nz > 1:
+        raise _Fallback("3D skew not structured")
+    if g.perio:
+        raise _Fallback("periodic skew not structured")
+
+    levels: List[SLevel] = []
+    nodes = np.arange(g.num_nodes, dtype=np.int64)
+    vmap_prev = None
+
+    for lev in range(precond.max_level):
+        plan = precond.plans[lev]
+        hier = precond.hierarchies[lev]
+        part = parts[lev]
+        sx = part.sx
+        sk = SkewCartesianPartitioner(g, part)
+        valid = sk.valid_subdomain_ids()
+        n_sd = hier.num_subdomains
+        if len(valid) != n_sd:
+            raise _Fallback("skew subdomain count mismatch")
+
+        # diamond lattice coordinates per subdomain
+        AB = np.empty((n_sd, 2), dtype=np.int64)
+        centers = np.empty((n_sd, 2), dtype=np.int64)
+        for k, sd_p in enumerate(valid):
+            x, y, z, _ok = sk.position(sd_p)
+            if (x + y) % sx or (x - y) % sx:
+                raise _Fallback("diamond center off-lattice")
+            AB[k] = ((x + y) // sx, (x - y) // sx)
+            centers[k] = (x, y)
+        AB -= AB.min(axis=0)
+        nJ, nI = int(AB[:, 0].max()) + 1, int(AB[:, 1].max()) + 1
+        sd_box = np.concatenate(
+            [np.zeros((n_sd, 1), dtype=np.int64), AB], axis=1)
+
+        # owner assignment: node -> subdomain
+        n_nodes = nodes.size
+        owner = np.full(n_nodes, -1, dtype=np.int64)
+        for sd in range(n_sd):
+            pos = np.searchsorted(nodes, hier.interior[sd])
+            owner[pos] = sd
+        for gi, grp in enumerate(hier.groups):
+            pos = np.searchsorted(nodes, grp.nodes)
+            owner[pos] = hier.group_owner[gi]
+        if (owner < 0).any():
+            raise _Fallback("unassigned nodes")
+
+        # channels: rank of (dy, dx, d) among observed offsets
+        gids = nodes
+        d = gids % g.dof
+        cell = gids // g.dof
+        x = cell % g.nx
+        y = (cell // g.nx) % g.ny
+        rel = np.stack([y - centers[owner, 1], x - centers[owner, 0], d],
+                       axis=1)
+        uniq, cCH = np.unique(rel, axis=0, return_inverse=True)
+        cCH = cCH.ravel()
+        NCH = uniq.shape[0]
+        if NCH > 4096:
+            raise _Fallback("skew channel space too large")
+        cK = np.zeros(n_nodes, dtype=np.int64)
+        cJ = AB[owner, 0]
+        cI = AB[owner, 1]
+        # per-box channel uniqueness (distinct nodes, same box+rel
+        # cannot happen: rel is injective per box by construction)
+
+        ni_pad = plan.int_pos.shape[1]
+        ns_pad = plan.sd_sep_pos.shape[1]
+        mb_pad = plan.blk_idx.shape[1] if plan.blk_idx.size else 1
+        for gi, grp in enumerate(hier.groups):
+            grp._pos = np.searchsorted(nodes, grp.nodes)
+        hier._int_pos = [np.searchsorted(nodes, hier.interior[sd])
+                         for sd in range(n_sd)]
+        dims = (1, nJ, nI, NCH)
+        slev, vmap = _detect_level(
+            plan, hier, (cK, cJ, cI, cCH), dims, (False, False, False),
+            ni_pad, ns_pad, mb_pad, sd_box=sd_box)
+        slev.mode = "perm"
+        slev.n_nodes = n_nodes
+        slev.in_chan = NCH
+
+        # entry: (1, nJ, nI, NCH) -> position in this level's input
+        entry = np.full((1, nJ, nI, NCH), n_nodes, dtype=np.int64)
+        entry[cK, cJ, cI, cCH] = np.arange(n_nodes)
+        exit_ = (cJ * nI + cI) * NCH + cCH
+        slev.exit = exit_
+
+        if lev == 0:
+            slev.in_size = n_nodes
+            slev.entry = entry
+        else:
+            # compose with the parent's Vsum layout: the child entry
+            # gathers straight from the parent's vs tensor
+            parent = levels[-1]
+            NTp = len(parent.templates)
+            p_size = parent.nK * parent.nJ * parent.nI * NTp
+            down = np.empty(n_nodes, dtype=np.int64)
+            for p, gid in enumerate(nodes):
+                k0, j0, i0, t = vmap_prev[int(gid)]
+                down[p] = ((k0 * parent.nJ + j0) * parent.nI + i0) * NTp + t
+            down_ext = np.concatenate([down, [p_size]])
+            slev.entry = down_ext[np.minimum(entry, n_nodes)]
+            slev.in_size = p_size
+            # parent's solution-path map: x_next.flat <- child out.flat
+            c_size = nJ * nI * NCH
+            up = np.full(p_size, c_size, dtype=np.int64)
+            up[down] = exit_
+            parent.up = up
+
+        levels.append(slev)
+        nodes = plan.next_nodes
+        vmap_prev = vmap
+
+    # coarse permutation (same construction as the Cartesian path)
+    L = levels[-1]
+    NT = len(L.templates)
+    n_c = nodes.size
+    src = np.empty(n_c, dtype=np.int64)
+    back = np.full(L.nK * L.nJ * L.nI * NT, n_c, dtype=np.int64)
+    for p, gid in enumerate(nodes):
+        k0, j0, i0, t = vmap_prev[int(gid)]
+        flat = ((k0 * L.nJ + j0) * L.nI + i0) * NT + t
+        src[p] = flat
+        back[flat] = p
+    coarse = SCoarse(n=n_c, src=src, back=back)
+    return StructuredProgram(levels, coarse, precond.dtype)
+
+
 def _build_impl(precond):
     from ..grid import X_PERIO, Y_PERIO, Z_PERIO
 
     g = precond.grid
-    if precond.partitioner_type != "Cartesian":
-        raise _Fallback("non-Cartesian partitioner")
+    if precond.partitioner_type not in ("Cartesian", "Skew Cartesian"):
+        raise _Fallback("unknown partitioner")
     if getattr(precond, "_bgrid_T", None) is not None:
         raise _Fallback("B-grid transform")
     if precond.max_level < 1:
@@ -467,6 +644,8 @@ def _build_impl(precond):
     parts = getattr(precond, "_level_parts", None)
     if parts is None or len(parts) != precond.max_level:
         raise _Fallback("level partition params unavailable")
+    if precond.partitioner_type == "Skew Cartesian":
+        return _build_skew(precond, parts)
 
     periodic = (bool(g.perio & Z_PERIO), bool(g.perio & Y_PERIO),
                 bool(g.perio & X_PERIO))
@@ -648,6 +827,14 @@ class StructuredProgram:
                        np.arange(starts[r], starts[r] + Wt - 1)] = 1.0
                 X.append(jnp.asarray(Xc, dtype))
 
+            entry = {}
+            if L.mode == "perm":
+                entry["entry"] = jnp.asarray(L.entry, jnp.int32)
+                entry["sdmap"] = jnp.asarray(L.sd_of_box, jnp.int32)
+                if L.exit is not None:
+                    entry["exit"] = jnp.asarray(L.exit, jnp.int32)
+                if L.up is not None:
+                    entry["up"] = jnp.asarray(L.up, jnp.int32)
             self._const.append({
                 "class_mask": jnp.asarray(cm, dtype),
                 "sel": jnp.asarray(L.sel, dtype),
@@ -660,6 +847,7 @@ class StructuredProgram:
                 "svf": jnp.asarray(svf, dtype),
                 "offM": [jnp.asarray(offsets[o], dtype) for o in off_list],
                 "X": X,
+                **entry,
             })
         self._coarse_const = {
             "src": jnp.asarray(coarse.src, jnp.int32),
@@ -675,9 +863,21 @@ class StructuredProgram:
             f = factors["levels"][lev]
             c = consts["levels"][lev]
             nK, nJ, nI = L.nK, L.nJ, L.nI
-            A11 = f["A11inv"].reshape(nK, nJ, nI, L.ni_pad, L.ni_pad)
-            A21 = f["A21"].reshape(nK, nJ, nI, L.ns_pad, L.ni_pad)
-            G = f["G"].reshape(nK, nJ, nI, L.ni_pad, L.ns_pad)
+            if L.mode == "perm":
+                # boxes are a sparse lattice over subdomains: route the
+                # sd-batched factors through the box->sd map (sentinel
+                # row = zeros for empty lattice corners)
+                def bx(t):
+                    ext = jnp.concatenate(
+                        [t, jnp.zeros((1,) + t.shape[1:], t.dtype)])
+                    return ext[c["sdmap"]]
+                A11 = bx(f["A11inv"])
+                A21 = bx(f["A21"])
+                G = bx(f["G"])
+            else:
+                A11 = f["A11inv"].reshape(nK, nJ, nI, L.ni_pad, L.ni_pad)
+                A21 = f["A21"].reshape(nK, nJ, nI, L.ns_pad, L.ni_pad)
+                G = f["G"].reshape(nK, nJ, nI, L.ni_pad, L.ns_pad)
             A11s = jnp.zeros((nK, nJ, nI, L.NCH, L.NCH), A11.dtype)
             A21s = jnp.zeros((nK, nJ, nI, L.NC, L.NCH), A11.dtype)
             Gs = jnp.zeros((nK, nJ, nI, L.NCH, L.NC), A11.dtype)
@@ -729,16 +929,18 @@ class StructuredProgram:
         offs = self._offsets[lev]
         SW = self._sw[lev]
 
-        r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
-             .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
+        if L.mode == "perm":
+            b_ext = jnp.concatenate(
+                [b.reshape(-1), jnp.zeros((1,), dtype)])
+            r = b_ext[c["entry"]]
+        else:
+            r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
+                 .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
         x1 = jnp.einsum("kijab,kijb->kija", f["A11"], r)
 
         if SW == 0:
             # no separators at this level (degenerate); interior only
-            out = x1.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \
-                    .transpose(0, 3, 1, 4, 2, 5, 6)
-            return out.reshape(-1) if lev == 0 else \
-                out.reshape(nK * bz, nJ * by, nI * bx, L.in_chan)
+            return self._exit_level(lev, x1, c)
 
         y2c = jnp.einsum("kijab,kijb->kija", f["A21"], x1)
 
@@ -769,6 +971,12 @@ class StructuredProgram:
         vs = jnp.einsum("kijs,st->kijt", tt, c["V"], precision=HI)
         if lev + 1 < len(self.levels):
             x_next = self._apply_level(lev + 1, sfactors, consts, vs)
+            if self.levels[lev + 1].mode == "perm":
+                # perm child returns its flat (box, channel) vector;
+                # route it back into this level's Vsum layout
+                nxt_ext = jnp.concatenate(
+                    [x_next, jnp.zeros((1,), dtype)])
+                x_next = nxt_ext[c["up"]].reshape(vs.shape)
         else:
             rhs = vs.reshape(-1)[consts["coarse"]["src"]]
             sol = sfactors["coarse"]["inv"] @ rhs
@@ -799,7 +1007,17 @@ class StructuredProgram:
         # disjoint across templates; invalid slots are zero in x2; the
         # one-hot einsum is the scatter-free embed)
         out = x1 + jnp.einsum("kijs,cs->kijc", x2, c["E"], precision=HI)
+        return self._exit_level(lev, out, c)
 
+    def _exit_level(self, lev, out, c):
+        L = self.levels[lev]
+        bz, by, bx = L.blk_factors
+        nK, nJ, nI = L.nK, L.nJ, L.nI
+        if L.mode == "perm":
+            out_flat = out.reshape(-1)
+            if lev == 0:
+                return out_flat[c["exit"]]
+            return out_flat       # the parent routes via its 'up' map
         out = out.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \
                  .transpose(0, 3, 1, 4, 2, 5, 6)
         if lev == 0:

@@ -88,10 +88,40 @@ def test_apply_factors_from_matches_compute():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_skew_falls_back():
+SKEW_CASES = [
+    ("Laplace", {"nx": 16, "ny": 16}, {"Number of Levels": 1}),
+    ("Laplace", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+    ("Stokes-C", {"nx": 16, "ny": 16}, {"Number of Levels": 1}),
+    ("Stokes-C", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+    ("Stokes-C", {"nx": 64, "ny": 64}, {"Number of Levels": 3}),
+    ("Darcy", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+]
+
+
+@pytest.mark.parametrize("eq,prob,prec", SKEW_CASES)
+def test_skew_structured_matches_generic(eq, prob, prec):
+    """The skew (diamond) partitioner runs the structured path in
+    perm mode (boxes = the rotated (A,B) diamond lattice)."""
+    prec = dict({"Partitioner": "Skew Cartesian"}, **prec)
+    K, P = _build(eq, prob, prec)
+    assert P._structured is not None, \
+        getattr(P, "_structured_reason", "")
+    assert P._structured.levels[0].mode == "perm"
+    P.compute()
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(K.shape[0])
+    x_s = np.asarray(P._sapply_jit(P._sfactors, P._structured.consts,
+                                   jnp.asarray(b)))
+    x_g = np.asarray(P._apply_jit(P._prune_factors(P._factors),
+                                  P._aplans_gen, jnp.asarray(b)))
+    scale = np.max(np.abs(x_g))
+    assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
+
+
+def test_skew_3d_falls_back():
     params = Params({
-        "Problem": {"Equations": "Laplace", "Dimension": 2,
-                    "nx": 16, "ny": 16},
+        "Problem": {"Equations": "Laplace", "Dimension": 3,
+                    "nx": 8, "ny": 8, "nz": 8},
         "Preconditioner": {"Partitioner": "Skew Cartesian",
                            "Separator Length": 4, "Number of Levels": 1},
     })

@@ -77,8 +77,7 @@ def main():
     })
     tv = create_testvector(params, K)
 
-    S = IterativeRefinementSolver(K, params, testvector=tv,
-                                  inner_tol=5e-7, max_passes=8)
+    S = IterativeRefinementSolver(K, params, testvector=tv)
     S.compute()
     P = S.precond
 

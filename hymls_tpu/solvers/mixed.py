@@ -6,8 +6,12 @@ f64 vector reductions ~30x slower than f32.  The TPU-native answer is
 classical iterative refinement — all heavy work (factorization,
 V-cycles, Krylov iterations, SpMV) runs in fast f32, while residuals
 and the solution accumulate in f64.  Each pass contracts the residual
-by roughly the inner tolerance (~1e-6), so two to three passes reach
-the reference's 1e-10..1e-12 targets.  (SURVEY.md notes this as the
+by roughly the inner tolerance, and a LOOSE inner tolerance wins:
+asking f32 GMRES for 1e-6 makes it stagnate against the f32 noise
+floor and burn its full iteration budget per pass, while ~1e-4
+passes converge in a few dozen iterations each and the refinement
+loop squares away the rest (measured on the Re1000 cavity Jacobian:
+inner 1e-4 reaches 3e-15 in 0.08 s vs 1e-13 in 0.11 s at 5e-7).  (SURVEY.md notes this as the
 sanctioned mitigation: "mixed f32 factorization + f64 iterative
 refinement where targets allow".)
 """
@@ -33,7 +37,7 @@ class IterativeRefinementSolver:
 
     def __init__(self, K: sp.csr_matrix, params: Params,
                  testvector: Optional[np.ndarray] = None,
-                 inner_tol: float = 5e-7, max_passes: int = 6):
+                 inner_tol: float = 1e-4, max_passes: int = 16):
         self.params = params
         it = params.sublist("Solver").sublist("Iterative Solver")
         self.tol = it.get("Convergence Tolerance", 1e-6)

@@ -39,8 +39,7 @@ params = Params({
 tv = create_testvector(params, K)
 
 t0 = time.perf_counter()
-S = IterativeRefinementSolver(K, params, testvector=tv, inner_tol=5e-7,
-                              max_passes=8)
+S = IterativeRefinementSolver(K, params, testvector=tv)
 t_sym = time.perf_counter() - t0    # symbolic (host, once per structure)
 
 t0 = time.perf_counter()

@@ -168,6 +168,16 @@ def run_case(params: Params, dtype=None) -> RunReport:
                 solve_time=timer.total("solve"))
             report.solves.append(sr)
 
+            if not sr.converged and driver.get("Write Failed Matrix",
+                                               True):
+                # diagnostic dump on non-convergence (reference
+                # FailedMatrix.txt, src/HYMLS_BaseSolver.cpp:368-382)
+                from .utils import io as hio
+                hio.write_matrix("FailedMatrix.mtx", Kc)
+                hio.write_vector("FailedRhs.mtx", b)
+                print("WARNING: solve did not converge; wrote "
+                      "FailedMatrix.mtx / FailedRhs.mtx")
+
             report.check(sr.iters <= t_iters,
                          f"iters {sr.iters} > target {t_iters}")
             report.check(relres <= t_res,
@@ -317,13 +327,22 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "--params-doc":
+        # reference printValidParameters (src/main.cpp:502-508)
+        from .params_doc import documentation
+        print(documentation())
+        return 0
     if not argv:
         print("usage: python -m hymls_tpu.driver <config.xml> "
-              "[override.xml ...]")
+              "[override.xml ...] | --params-doc")
         return 1
     params = load_xml(argv[0])
     for extra in argv[1:]:
         params.update_from(load_xml(extra))
+
+    from .params_doc import validate
+    for w in validate(params):
+        print(f"WARNING: {w}")
 
     reports = run_with_refinements(params)
     ok = all(r.passed for r in reports)

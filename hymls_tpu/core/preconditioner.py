@@ -560,20 +560,34 @@ class Preconditioner:
         self._initialized = True
 
     def _init_structured(self):
-        """Try to compile the gather-free structured apply (Cartesian
-        fast path, core/structured.py); keep the generic gather path on
-        any detection failure."""
+        """Try to compile the gather-free structured apply
+        (core/structured.py); keep the generic gather path on any
+        detection failure.  'Structured Apply' accepts True/False or
+        "Auto" (the default): Auto skips the structured program when
+        its repacked factor tensors would be very large relative to
+        the backend (the fold/repack compile and memory cost outweighs
+        the per-iteration win — seen on CPU test runs of 32^3 skew
+        Stokes)."""
         self._structured = None
         self._sapply_jit = None
         self._repack_jit = None
-        if not self.params.sublist("Preconditioner").get(
-                "Structured Apply", True):
+        mode = self.params.sublist("Preconditioner").get(
+            "Structured Apply", "Auto")
+        if mode is False:
             self._structured_reason = "disabled by parameter"
             return
         from .structured import build_structured_program
         prog = build_structured_program(self)
         if prog is None:
             return
+        if mode == "Auto":
+            budget = 5e7 if jax.default_backend() == "cpu" else 5e8
+            est = sum(L.nK * L.nJ * L.nI * L.NCH * L.NCH
+                      for L in prog.levels)
+            if est > budget:
+                self._structured_reason = (
+                    f"auto: factor tensors too large ({est:.2g} el)")
+                return
         self._structured = prog
 
         def sapply(factors, consts, b):

@@ -396,14 +396,18 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad,
                 lay.append((r, ch_rank[int(c)] - 1))
         blk_layout[ci][(K, J, I)] = lay
 
-    # a template must appear in at most one combo (its non-Vsum slots
-    # are solved by exactly one block)
-    seen_t: set = set()
+    # A template may appear in different combos at different boxes
+    # (boundary linked sets group types differently than interior
+    # ones): per BOX each group belongs to exactly one linked set, and
+    # a combo's block tensor is the zero sentinel wherever it has no
+    # instance, so the per-combo scatter contributions stay disjoint.
+    # Within ONE combo a template may not repeat, which the member
+    # tuple construction guarantees (a linked set lists distinct
+    # groups of one owner, each clustering to a distinct template
+    # because occurrence ranks differ).
     for C in combos:
-        for t in C.members:
-            if t in seen_t and templates[t].width > 1:
-                raise _Fallback("template in multiple combos")
-            seen_t.add(t)
+        if len(set(C.members)) != len(C.members):
+            raise _Fallback("template repeated within a combo")
 
     # class signature = everything per-box the folds depend on
     # (boxes without a subdomain — skew lattice corners — get the
@@ -500,8 +504,6 @@ def _build_skew(precond, parts):
     from ..partition.skew import SkewCartesianPartitioner
 
     g = precond.grid
-    if g.nz > 1:
-        raise _Fallback("3D skew not structured")
     if g.perio:
         raise _Fallback("periodic skew not structured")
 
@@ -520,19 +522,24 @@ def _build_skew(precond, parts):
         if len(valid) != n_sd:
             raise _Fallback("skew subdomain count mismatch")
 
-        # diamond lattice coordinates per subdomain
-        AB = np.empty((n_sd, 2), dtype=np.int64)
-        centers = np.empty((n_sd, 2), dtype=np.int64)
+        # diamond lattice coordinates per subdomain: (A, B) is the
+        # 45-degree-rotated in-plane lattice, K the z layer (3D skew
+        # stacks the diamond lattice per layer)
+        KAB = np.empty((n_sd, 3), dtype=np.int64)
+        centers = np.empty((n_sd, 3), dtype=np.int64)
         for k, sd_p in enumerate(valid):
             x, y, z, _ok = sk.position(sd_p)
-            if (x + y) % sx or (x - y) % sx:
+            if (x + y) % sx or (x - y) % sx or z % sx:
                 raise _Fallback("diamond center off-lattice")
-            AB[k] = ((x + y) // sx, (x - y) // sx)
-            centers[k] = (x, y)
-        AB -= AB.min(axis=0)
-        nJ, nI = int(AB[:, 0].max()) + 1, int(AB[:, 1].max()) + 1
-        sd_box = np.concatenate(
-            [np.zeros((n_sd, 1), dtype=np.int64), AB], axis=1)
+            KAB[k] = (z // sx, (x + y) // sx, (x - y) // sx)
+            centers[k] = (x, y, z)
+        KAB -= KAB.min(axis=0)
+        nK = int(KAB[:, 0].max()) + 1
+        nJ, nI = int(KAB[:, 1].max()) + 1, int(KAB[:, 2].max()) + 1
+        flat = (KAB[:, 0] * nJ + KAB[:, 1]) * nI + KAB[:, 2]
+        if np.unique(flat).size != n_sd:
+            raise _Fallback("skew lattice collision")
+        sd_box = KAB
 
         # owner assignment: node -> subdomain
         n_nodes = nodes.size
@@ -546,22 +553,23 @@ def _build_skew(precond, parts):
         if (owner < 0).any():
             raise _Fallback("unassigned nodes")
 
-        # channels: rank of (dy, dx, d) among observed offsets
+        # channels: rank of (dz, dy, dx, d) among observed offsets
         gids = nodes
         d = gids % g.dof
         cell = gids // g.dof
         x = cell % g.nx
         y = (cell // g.nx) % g.ny
-        rel = np.stack([y - centers[owner, 1], x - centers[owner, 0], d],
-                       axis=1)
+        z = cell // (g.nx * g.ny)
+        rel = np.stack([z - centers[owner, 2], y - centers[owner, 1],
+                        x - centers[owner, 0], d], axis=1)
         uniq, cCH = np.unique(rel, axis=0, return_inverse=True)
         cCH = cCH.ravel()
         NCH = uniq.shape[0]
         if NCH > 4096:
             raise _Fallback("skew channel space too large")
-        cK = np.zeros(n_nodes, dtype=np.int64)
-        cJ = AB[owner, 0]
-        cI = AB[owner, 1]
+        cK = KAB[owner, 0]
+        cJ = KAB[owner, 1]
+        cI = KAB[owner, 2]
         # per-box channel uniqueness (distinct nodes, same box+rel
         # cannot happen: rel is injective per box by construction)
 
@@ -572,7 +580,7 @@ def _build_skew(precond, parts):
             grp._pos = np.searchsorted(nodes, grp.nodes)
         hier._int_pos = [np.searchsorted(nodes, hier.interior[sd])
                          for sd in range(n_sd)]
-        dims = (1, nJ, nI, NCH)
+        dims = (nK, nJ, nI, NCH)
         slev, vmap = _detect_level(
             plan, hier, (cK, cJ, cI, cCH), dims, (False, False, False),
             ni_pad, ns_pad, mb_pad, sd_box=sd_box)
@@ -580,10 +588,10 @@ def _build_skew(precond, parts):
         slev.n_nodes = n_nodes
         slev.in_chan = NCH
 
-        # entry: (1, nJ, nI, NCH) -> position in this level's input
-        entry = np.full((1, nJ, nI, NCH), n_nodes, dtype=np.int64)
+        # entry: (nK, nJ, nI, NCH) -> position in this level's input
+        entry = np.full((nK, nJ, nI, NCH), n_nodes, dtype=np.int64)
         entry[cK, cJ, cI, cCH] = np.arange(n_nodes)
-        exit_ = (cJ * nI + cI) * NCH + cCH
+        exit_ = ((cK * nJ + cJ) * nI + cI) * NCH + cCH
         slev.exit = exit_
 
         if lev == 0:

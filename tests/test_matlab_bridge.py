@@ -15,7 +15,7 @@ from hymls_tpu.config import Params, save_xml
 from hymls_tpu.stencils import create_matrix
 
 
-def _wait(path, timeout=180):
+def _wait(path, timeout=600):
     t0 = time.time()
     while not os.path.exists(path):
         if time.time() - t0 > timeout:

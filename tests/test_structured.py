@@ -118,10 +118,36 @@ def test_skew_structured_matches_generic(eq, prob, prec):
     assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
 
 
-def test_skew_3d_falls_back():
+SKEW_CASES_3D = [
+    ("Laplace", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
+    ("Stokes-C", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
+    # 16^3 2-level skew Stokes also passes (2.5e-14) but its CPU
+    # compile dominates suite wall-clock; exercised by the TPU benches
+]
+
+
+@pytest.mark.parametrize("eq,prob,prec", SKEW_CASES_3D)
+def test_skew_3d_structured_matches_generic(eq, prob, prec):
+    """3D skew (octahedral lattice = per-layer diamond lattices)."""
+    prec = dict({"Partitioner": "Skew Cartesian"}, **prec)
+    K, P = _build(eq, prob, prec, dim=3)
+    assert P._structured is not None, \
+        getattr(P, "_structured_reason", "")
+    P.compute()
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(K.shape[0])
+    x_s = np.asarray(P._sapply_jit(P._sfactors, P._structured.consts,
+                                   jnp.asarray(b)))
+    x_g = np.asarray(P._apply_jit(P._prune_factors(P._factors),
+                                  P._aplans_gen, jnp.asarray(b)))
+    scale = np.max(np.abs(x_g))
+    assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
+
+
+def test_periodic_skew_falls_back():
     params = Params({
-        "Problem": {"Equations": "Laplace", "Dimension": 3,
-                    "nx": 8, "ny": 8, "nz": 8},
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": 16, "ny": 16, "x-periodic": True},
         "Preconditioner": {"Partitioner": "Skew Cartesian",
                            "Separator Length": 4, "Number of Levels": 1},
     })

@@ -94,19 +94,21 @@ def main():
     vals64 = S.op64.vals
     vals32 = S.solver.op.vals
     bj = jnp.asarray(b, jnp.float64)
-    dplans = P._dplans
-    extra = P._extra_plan
+    newton, dplans, extra, aplans = S.newton_step_fn()
 
-    # timed: REPS x (f32 re-factorization + fused IR solve) — the
-    # per-Newton-step cost of a continuation run — asynchronously
-    # dispatched, one sync at the end
+    # warm-up/compile of the single-dispatch Newton-step program
+    r = newton(vals64, vals32, dplans, extra, aplans, bj)
+    jax.block_until_ready(r.x)
+
+    # timed: REPS x (f32 re-factorization + repack + fused IR solve)
+    # — the per-Newton-step cost of a continuation run — one program
+    # dispatch per rep, asynchronously chained, one sync at the end
     t0 = time.perf_counter()
     last = None
     for i in range(REPS):
         scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
-        factors = P._compute_jit(vals32 * scale32, dplans, extra)
-        r = S._fused_jit(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
-                         P.apply_factors_from(factors), P._aplans, bj)
+        r = newton(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
+                   dplans, extra, aplans, bj)
         last = r.x
     jax.block_until_ready(last)
     elapsed = (time.perf_counter() - t0) / REPS

@@ -1019,6 +1019,15 @@ class Preconditioner:
             return self._repack_jit(pruned, self._structured.consts)
         return pruned
 
+    def apply_factors_from_pure(self, factors, aplans):
+        """Pure (jit-composable) variant of `apply_factors_from`:
+        aplans must be this preconditioner's `_aplans` pytree passed
+        through the caller's jit arguments."""
+        pruned = self._prune_factors(factors)
+        if self._structured_active:
+            return self._structured.repack(pruned, aplans)
+        return pruned
+
     @property
     def _apply_pure(self):
         return self._sapply_pure if self._structured_active \

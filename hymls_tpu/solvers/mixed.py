@@ -37,16 +37,28 @@ class IterativeRefinementSolver:
 
     def __init__(self, K: sp.csr_matrix, params: Params,
                  testvector: Optional[np.ndarray] = None,
-                 inner_tol: float = 1e-4, max_passes: int = 16):
+                 inner_tol: float = 1e-4, max_passes: int = 16,
+                 inner_maxiter: int = 64):
         self.params = params
         it = params.sublist("Solver").sublist("Iterative Solver")
         self.tol = it.get("Convergence Tolerance", 1e-6)
         self.inner_tol = max(inner_tol, self.tol)
         self.max_passes = max_passes
+        # Cap the inner Krylov basis independently of the user's
+        # 'Maximum Iterations': the fused GMRES uses static-shape
+        # masked orthogonalization, so every iteration pays O(basis
+        # size) bandwidth whether slots are used or not.  A loose
+        # inner tolerance converges in a few dozen iterations; an
+        # unconverged pass simply continues in the next refinement
+        # pass (restart semantics).
+        self.inner_maxiter = min(inner_maxiter,
+                                 it.get("Maximum Iterations", 100))
 
         inner_params = params.copy()
         inner_params.sublist("Solver").sublist("Iterative Solver")[
             "Convergence Tolerance"] = self.inner_tol
+        inner_params.sublist("Solver").sublist("Iterative Solver")[
+            "Maximum Iterations"] = self.inner_maxiter
         self.precond = Preconditioner(K, inner_params,
                                       testvector=testvector,
                                       dtype=jnp.float32)
@@ -81,7 +93,7 @@ class IterativeRefinementSolver:
         slist = self.params.sublist("Solver")
         method = slist.get("Krylov Method", "GMRES")
         it = slist.sublist("Iterative Solver")
-        maxiter = it.get("Maximum Iterations", 100)
+        maxiter = self.inner_maxiter
         inner_tol = self.inner_tol
         tol = self.tol
         max_passes = self.max_passes
@@ -129,7 +141,28 @@ class IterativeRefinementSolver:
             return KrylovResult(x=x, iters=iters, relres=rel,
                                 converged=rel <= tol)
 
+        self._fused_fn = fused          # pure; composable under jit
         self._fused_jit = jax.jit(fused)
+
+    def newton_step_fn(self):
+        """One jitted program for a full Newton step: f32
+        re-factorization + structured repack + fused IR solve.  A
+        single dispatch per step (three separate launches through a
+        remote-TPU tunnel cost ~0.1 s of host/tunnel overhead each
+        rep).  Returns (fn, dplans, extra, aplans):
+        fn(vals64, vals32, dplans, extra, aplans, b) -> KrylovResult."""
+        if self._fused_jit is None:
+            self._build_fused()
+        P = self.precond
+        compute = P._compute_pure
+        fused = self._fused_fn
+
+        def newton(vals64, vals32, dplans, extra, aplans, b):
+            factors = compute(vals32, dplans, extra)
+            afac = P.apply_factors_from_pure(factors, aplans)
+            return fused(vals64, vals32, afac, aplans, b)
+
+        return (jax.jit(newton), P._dplans, P._extra_plan, P._aplans)
 
     def solve(self, b):
         """Fused on-device refinement solve; returns x (see

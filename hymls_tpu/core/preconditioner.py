@@ -590,8 +590,19 @@ class Preconditioner:
                 return
         self._structured = prog
 
-        def sapply(factors, consts, b):
-            return prog.apply(factors, b, consts)
+        if self._bgrid_T is not None:
+            # same wrapping as the generic path: the plans/groups are
+            # built on the transformed operator M = T' K T, so any
+            # apply is conjugated by the Givens pre-transform
+            from ..ops.spmv import DiaOperator
+            Top = DiaOperator(self._bgrid_T, dtype=self.dtype)
+            TopT = DiaOperator(self._bgrid_T.T.tocsr(), dtype=self.dtype)
+
+            def sapply(factors, consts, b):
+                return Top(prog.apply(factors, TopT(b), consts))
+        else:
+            def sapply(factors, consts, b):
+                return prog.apply(factors, b, consts)
 
         self._sapply_pure = sapply
         self._sapply_jit = jax.jit(sapply)
@@ -1032,6 +1043,34 @@ class Preconditioner:
     def _apply_pure(self):
         return self._sapply_pure if self._structured_active \
             else self._apply_pure_gen
+
+    def dump_levels(self, prefix: str = "level") -> list:
+        """Dump every level's operator to MatrixMarket files (the
+        reference's HYMLS_STORE_MATRICES debug mode, which writes each
+        reduced Schur matrix per level).  Returns the written paths."""
+        import scipy.sparse as sp
+        from ..utils.io import write_matrix
+
+        if self.max_level < 1:
+            write_matrix(f"{prefix}0.mtx", self.K)
+            return [f"{prefix}0.mtx"]
+        paths = []
+        write_matrix(f"{prefix}0.mtx", self.K)
+        paths.append(f"{prefix}0.mtx")
+        from .preconditioner import _compute_level as _cl
+        v = self._vals0 if self._vals0 is not None else \
+            jnp.asarray(self.K.data, dtype=self.dtype)
+        sizes = [(p.n_sep, p.nnz_sc) for p in self.plans]
+        for lev in range(self.max_level):
+            _f, v = _cl(v, self._dplans[lev], sizes[lev],
+                        apply_ot=self.plans[lev].apply_ot)
+            pat = self.plans[lev].next_pattern
+            M = sp.csr_matrix((np.asarray(v), pat.indices, pat.indptr),
+                              shape=pat.shape)
+            path = f"{prefix}{lev + 1}.mtx"
+            write_matrix(path, M)
+            paths.append(path)
+        return paths
 
     def apply_inverse_fn(self):
         """Returns (pure_fn, factors, device_plans): pure_fn(factors,

@@ -108,6 +108,9 @@ class SLevel:
     up: Optional[np.ndarray] = None         # (nK*nJ*nI*NT,) -> child out
     n_nodes: int = 0
     in_size: int = 0                        # entry sentinel value
+    grid_dims: Optional[Tuple[int, int, int, int]] = None
+    # (nz, ny, nx, dof) of the true grid when level-0 boxes OVERHANG a
+    # non-divisible grid: entry zero-pads, exit slices back
 
 
 @dataclass
@@ -641,8 +644,9 @@ def _build_impl(precond):
     g = precond.grid
     if precond.partitioner_type not in ("Cartesian", "Skew Cartesian"):
         raise _Fallback("unknown partitioner")
-    if getattr(precond, "_bgrid_T", None) is not None:
-        raise _Fallback("B-grid transform")
+    # the B-grid Givens pre-transform needs no special handling here:
+    # the preconditioner wraps ANY apply as T . apply . T^T (the plans
+    # and groups are built on the transformed operator)
     if precond.max_level < 1:
         raise _Fallback("direct-SC mode")
     if precond.variant == "Domain Decomposition":
@@ -662,21 +666,28 @@ def _build_impl(precond):
     nodes = np.arange(g.num_nodes, dtype=np.int64)
 
     def box_dims(part):
-        """Box grid (nK, nJ, nI) of one level over the original grid."""
-        if g.nz == 1:
-            nKb, szK = 1, 1
-        else:
-            if g.nz % part.sz:
-                raise _Fallback("grid not divisible by separator length")
-            nKb, szK = g.nz // part.sz, part.sz
-        if g.nx % part.sx or g.ny % part.sy:
-            raise _Fallback("grid not divisible by separator length")
-        return (nKb, g.ny // part.sy, g.nx // part.sx), szK
+        """Box grid (nK, nJ, nI) of one level over the original grid.
+        A separator length >= the axis size collapses that axis to one
+        box (coarse levels of small grids, e.g. 8^3 with coarsening 4:
+        level-1 boxes cover the whole grid)."""
+        def axis(n, s):
+            if n == 1:
+                return 1, 1
+            if s >= n:
+                return 1, n
+            # ceil: a non-divisible axis gets a truncated last box,
+            # realized by zero-padding the level-0 grid (the per-class
+            # folds mask the phantom channels)
+            return -(-n // s), s
+        nKb, szK = axis(g.nz, part.sz)
+        nJb, syK = axis(g.ny, part.sy)
+        nIb, sxK = axis(g.nx, part.sx)
+        return (nKb, nJb, nIb), (szK, syK, sxK)
 
     # level-0 coordinates
     p0 = parts[0]
-    (nK, nJ, nI), szK0 = box_dims(p0)
-    NCH = szK0 * p0.sy * p0.sx * dof
+    (nK, nJ, nI), (szK0, syK0, sxK0) = box_dims(p0)
+    NCH = szK0 * syK0 * sxK0 * dof
 
     def coords_from_grid(gids):
         d = gids % dof
@@ -685,14 +696,14 @@ def _build_impl(precond):
         y = (cell // g.nx) % g.ny
         z = cell // (g.nx * g.ny)
         K = z // szK0
-        J = y // p0.sy
-        I = x // p0.sx
-        ch = (((z % szK0) * p0.sy + (y % p0.sy)) * p0.sx
-              + (x % p0.sx)) * dof + d
+        J = y // syK0
+        I = x // sxK0
+        ch = (((z % szK0) * syK0 + (y % syK0)) * sxK0
+              + (x % sxK0)) * dof + d
         return K, J, I, ch
 
     coords = coords_from_grid(nodes)
-    blk0 = (szK0, p0.sy, p0.sx)
+    blk0 = (szK0, syK0, sxK0)
     in_chan0 = dof
 
     vmap_prev: Optional[Dict[int, Tuple[int, int, int, int]]] = None
@@ -715,16 +726,23 @@ def _build_impl(precond):
         if lev == 0:
             slev.blk_factors = blk0
             slev.in_chan = in_chan0
+            if (nK * blk0[0] != max(g.nz, 1) or nJ * blk0[1] != g.ny
+                    or nI * blk0[2] != g.nx):
+                slev.grid_dims = (max(g.nz, 1), g.ny, g.nx, dof)
         else:
             prev = levels[-1]
-            cz = prev.nK // slev.nK if slev.nK else 0
-            cy = prev.nJ // slev.nJ if slev.nJ else 0
-            cx = prev.nI // slev.nI if slev.nI else 0
-            if cz * slev.nK != prev.nK or cy * slev.nJ != prev.nJ or \
-               cx * slev.nI != prev.nI:
-                raise _Fallback("box grids not nested")
+            if not (slev.nK and slev.nJ and slev.nI):
+                raise _Fallback("empty coarse box grid")
+            # ceil ratios: a parent box grid that does not tile evenly
+            # is zero-padded on entry (same mechanism as level 0)
+            cz = -(-prev.nK // slev.nK)
+            cy = -(-prev.nJ // slev.nJ)
+            cx = -(-prev.nI // slev.nI)
             slev.blk_factors = (cz, cy, cx)
             slev.in_chan = NT_prev
+            if (cz * slev.nK, cy * slev.nJ, cx * slev.nI) != \
+                    (prev.nK, prev.nJ, prev.nI):
+                slev.grid_dims = (prev.nK, prev.nJ, prev.nI, NT_prev)
         levels.append(slev)
 
         # next level coordinates
@@ -732,11 +750,9 @@ def _build_impl(precond):
         NT = len(slev.templates)
         if lev + 1 < precond.max_level:
             (nKn, nJn, nIn), _ = box_dims(parts[lev + 1])
-            if slev.nK % nKn or slev.nJ % nJn or slev.nI % nIn:
-                raise _Fallback("box grid not divisible by coarsening")
-            cz = slev.nK // nKn
-            cy = slev.nJ // nJn
-            cx = slev.nI // nIn
+            cz = -(-slev.nK // nKn)
+            cy = -(-slev.nJ // nJn)
+            cx = -(-slev.nI // nIn)
             K = np.empty(nodes.size, dtype=np.int64)
             J = np.empty(nodes.size, dtype=np.int64)
             I = np.empty(nodes.size, dtype=np.int64)
@@ -941,6 +957,15 @@ class StructuredProgram:
             b_ext = jnp.concatenate(
                 [b.reshape(-1), jnp.zeros((1,), dtype)])
             r = b_ext[c["entry"]]
+        elif L.grid_dims is not None:
+            # boxes overhang a non-divisible parent grid: zero-pad,
+            # then the per-class folds treat phantom channels as absent
+            dz, dy, dx, dc = L.grid_dims
+            gb = b.reshape(dz, dy, dx, dc)
+            gb = jnp.pad(gb, ((0, nK * bz - dz), (0, nJ * by - dy),
+                              (0, nI * bx - dx), (0, 0)))
+            r = gb.reshape(nK, bz, nJ, by, nI, bx, dc) \
+                  .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
         else:
             r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
                  .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
@@ -1027,7 +1052,11 @@ class StructuredProgram:
                 return out_flat[c["exit"]]
             return out_flat       # the parent routes via its 'up' map
         out = out.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \
-                 .transpose(0, 3, 1, 4, 2, 5, 6)
+                 .transpose(0, 3, 1, 4, 2, 5, 6) \
+                 .reshape(nK * bz, nJ * by, nI * bx, L.in_chan)
+        if L.grid_dims is not None:
+            dz, dy, dx, _dc = L.grid_dims
+            out = out[:dz, :dy, :dx]
         if lev == 0:
             return out.reshape(-1)
-        return out.reshape(nK * bz, nJ * by, nI * bx, L.in_chan)
+        return out

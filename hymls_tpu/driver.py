@@ -199,6 +199,9 @@ def run_case(params: Params, dtype=None) -> RunReport:
     else:
         if driver.get("Store Matrix", False):
             hio.write_matrix("matrix_dump.mtx", K)
+        if driver.get("Store Level Matrices", False):
+            # reference HYMLS_STORE_MATRICES: every operator per level
+            P.dump_levels("level_dump")
         if driver.get("Store Solution", False) and report.solves:
             hio.write_vector("solution_dump.mtx", x)
 

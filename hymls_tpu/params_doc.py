@@ -123,6 +123,9 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                                "Load the system from Data Directory"),
         "Data Directory": ("string", "", "Reference-layout data dir"),
         "Store Matrix": ("bool", False, "Dump the operator after setup"),
+        "Store Level Matrices": ("bool", False,
+                                 "Dump every level's reduced operator "
+                                 "(reference HYMLS_STORE_MATRICES)"),
         "Store Solution": ("bool", False, "Dump the final solution"),
         "Store Format": ("string", "MatrixMarket", "MatrixMarket | HDF5"),
         "Write Failed Matrix": ("bool", True,

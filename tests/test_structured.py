@@ -144,6 +144,34 @@ def test_skew_3d_structured_matches_generic(eq, prob, prec):
     assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
 
 
+CONFIG_CASES = ["stokes_L2", "stokes_L3", "stokes_THCM3", "stokes_THCM4"]
+
+
+@pytest.mark.parametrize("cfg", CONFIG_CASES)
+def test_config_structured_matches_generic(cfg):
+    """Shipped ocean-grid configs (B-grid transform, non-divisible
+    10x11x8 grids, whole-grid coarse boxes) on the structured path."""
+    import os
+    from hymls_tpu.config import load_xml
+    params = load_xml(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", f"{cfg}.xml"))
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv)
+    assert P._structured is not None, \
+        getattr(P, "_structured_reason", "")
+    P.compute()
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(K.shape[0])
+    x_s = np.asarray(P._sapply_jit(P._sfactors, P._structured.consts,
+                                   jnp.asarray(b)))
+    x_g = np.asarray(P._apply_jit(P._prune_factors(P._factors),
+                                  P._aplans_gen, jnp.asarray(b)))
+    scale = np.max(np.abs(x_g))
+    assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
+
+
 def test_periodic_skew_falls_back():
     params = Params({
         "Problem": {"Equations": "Laplace", "Dimension": 2,

@@ -614,7 +614,9 @@ def _build_skew(precond, parts):
             slev.entry = down_ext[np.minimum(entry, n_nodes)]
             slev.in_size = p_size
             # parent's solution-path map: x_next.flat <- child out.flat
-            c_size = nJ * nI * NCH
+            # (sentinel = child out size incl. nK so it reads the
+            # appended zero, not a real element, for 3D child grids)
+            c_size = nK * nJ * nI * NCH
             up = np.full(p_size, c_size, dtype=np.int64)
             up[down] = exit_
             parent.up = up
@@ -881,6 +883,8 @@ class StructuredProgram:
 
     # -- repack: fold one-hot selections into factors (per factorization) ---
     def repack(self, factors, consts=None):
+        import jax.lax as lax
+        HI = lax.Precision.HIGHEST     # one-hot folds must not round data
         consts = self.consts if consts is None else consts
         out = {"levels": [], "coarse": factors["coarse"]}
         for lev, L in enumerate(self.levels):
@@ -909,9 +913,12 @@ class StructuredProgram:
                 m = c["class_mask"][ci][:, :, :, None, None]
                 s = c["sel"][ci]              # (NCH, ni)
                 p = c["pc"][ci]               # (NC, ns)
-                A11s = A11s + m * jnp.einsum("am,kijmn,bn->kijab", s, A11, s)
-                A21s = A21s + m * jnp.einsum("am,kijmn,bn->kijab", p, A21, s)
-                Gs = Gs + m * jnp.einsum("am,kijmn,bn->kijab", s, G, p)
+                A11s = A11s + m * jnp.einsum("am,kijmn,bn->kijab", s, A11, s,
+                                             precision=HI)
+                A21s = A21s + m * jnp.einsum("am,kijmn,bn->kijab", p, A21, s,
+                                             precision=HI)
+                Gs = Gs + m * jnp.einsum("am,kijmn,bn->kijab", s, G, p,
+                                         precision=HI)
             blk = f["blkinv"]
             blk_ext = jnp.concatenate(
                 [blk, jnp.zeros((1,) + blk.shape[1:], blk.dtype)])
@@ -924,7 +931,8 @@ class StructuredProgram:
                 for ci in range(L.n_class):
                     m = c["class_mask"][ci][:, :, :, None, None]
                     e = emb[ci]
-                    Bs = Bs + m * jnp.einsum("am,kijmn,bn->kijab", e, B, e)
+                    Bs = Bs + m * jnp.einsum("am,kijmn,bn->kijab", e, B, e,
+                                             precision=HI)
                 combos.append(Bs)
             out["levels"].append(
                 {"A11": A11s, "A21": A21s, "G": Gs, "blk": combos})

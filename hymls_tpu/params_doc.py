@@ -68,7 +68,10 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
         "Iterative Solver": ("sublist", None,
                              "Maximum Iterations (int, 100), "
                              "Convergence Tolerance (double, 1e-6), "
-                             "Num Blocks (int; GMRES restart length)"),
+                             "Num Blocks (int; GMRES restart length), "
+                             "Inner Maximum Iterations (int, 64; cap "
+                             "on the f32 inner Krylov basis in the "
+                             "iterative-refinement solver)"),
     },
     "Preconditioner": {
         "Partitioner": ("string", "Cartesian",
@@ -101,9 +104,14 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                              "Givens pre-transform for B-grid problems"),
         "Eliminate Velocities Together": ("bool", False,
                                           "B-grid velocity pairing"),
-        "Structured Apply": ("bool", True,
-                             "Use the gather-free structured V-cycle "
-                             "when the partition allows it"),
+        "Structured Apply": ("string", "Auto",
+                             "'Auto' | true | false.  true forces the "
+                             "gather-free structured V-cycle (error if "
+                             "the partition doesn't allow it), false "
+                             "disables it, 'Auto' enables it when the "
+                             "partition allows it AND the problem is "
+                             "large enough for the fold matmuls to win "
+                             "(size heuristic)"),
         "Drop Tolerance": ("double", 1e-14, "Small-entry drop threshold"),
         "Fill Factor": ("double", 3.0, "Reserved (KLU-era tuning knob)"),
     },

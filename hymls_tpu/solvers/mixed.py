@@ -50,9 +50,12 @@ class IterativeRefinementSolver:
         # size) bandwidth whether slots are used or not.  A loose
         # inner tolerance converges in a few dozen iterations; an
         # unconverged pass simply continues in the next refinement
-        # pass (restart semantics).
-        self.inner_maxiter = min(inner_maxiter,
-                                 it.get("Maximum Iterations", 100))
+        # pass (restart semantics).  'Inner Maximum Iterations'
+        # overrides the default cap for problems where the short
+        # restarted basis stagnates.
+        self.inner_maxiter = min(
+            it.get("Inner Maximum Iterations", inner_maxiter),
+            it.get("Maximum Iterations", 100))
 
         inner_params = params.copy()
         inner_params.sublist("Solver").sublist("Iterative Solver")[

@@ -356,6 +356,11 @@ def main(argv=None):
                   f"[compute {s.compute_time:.2f}s solve {s.solve_time:.2f}s]")
         for msg in r.failures:
             print(f"refinement {i}: FAILED: {msg}")
+    # aggregated timing table at exit (reference Tools::PrintTiming,
+    # src/main.cpp:515) + device memory report
+    from .utils.timings import print_timing, device_memory_report
+    print(print_timing())
+    print(device_memory_report())
     print("ALL TESTS PASSED" if ok else "TESTS FAILED")
     return 0 if ok else 1
 

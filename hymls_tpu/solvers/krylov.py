@@ -12,8 +12,14 @@ one XLA computation:
     residual.
   * CG: standard preconditioned conjugate gradients.
 
-Convergence matches Belos semantics: implicit residual norm relative
-to a scaling ('Norm of RHS' or the initial residual norm).
+Convergence matches Belos defaults (reference HYMLS_BaseSolver.cpp
+passes the 'Iterative Solver' list to Belos untouched): the implicit
+residual norm is scaled by the norm of the (preconditioned, if left)
+INITIAL residual — Belos 'Implicit Residual Scaling' = 'Norm of
+Preconditioned Initial Residual'.  scale_with_rhs=True selects 'Norm
+of RHS' instead.  With a zero initial vector the two coincide; with a
+random start the initial-residual scaling is what keeps iteration
+counts aligned with the reference targets.
 """
 from __future__ import annotations
 
@@ -35,7 +41,7 @@ class KrylovResult(NamedTuple):
 def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
           prec: Optional[Callable] = None, *, tol: float = 1e-8,
           maxiter: int = 100, left: bool = False,
-          scale_with_rhs: bool = True,
+          scale_with_rhs: bool = False,
           restart: Optional[int] = None) -> KrylovResult:
     """Preconditioned GMRES.
 
@@ -153,7 +159,7 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
 def cg(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
        prec: Optional[Callable] = None, *, tol: float = 1e-8,
-       maxiter: int = 100, scale_with_rhs: bool = True) -> KrylovResult:
+       maxiter: int = 100, scale_with_rhs: bool = False) -> KrylovResult:
     """Preconditioned conjugate gradients.  Works on negative-definite
     systems too (the reference's operators are negative definite by
     convention; CG formulas are invariant under simultaneous sign

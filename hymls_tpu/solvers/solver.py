@@ -48,6 +48,8 @@ class Solver:
         self._deflation = None
         self._opT = None
         self._K = K
+        self._mass = None
+        self._prev_x = None
         self._rng = np.random.default_rng(42)
 
     def set_matrix(self, K: sp.csr_matrix):
@@ -60,6 +62,13 @@ class Solver:
         if self._opT is not None:
             # keep the transpose operator (deflation) in sync
             self._opT.set_values(K.T.tocsr().data)
+
+    def set_mass_matrix(self, M: Optional[sp.spmatrix]):
+        """Mass matrix for deflation/eigen use (reference
+        BaseSolver::SetMassMatrix): deflation then targets dominant
+        eigenmodes of P^{-1}M instead of P^{-1}."""
+        self._mass = None if M is None else sp.csr_matrix(M)
+        return self
 
     def set_border(self, V, W=None, C=None):
         """Solve the bordered system [K V; W' C][x;s]=[b;0] (reference
@@ -196,7 +205,21 @@ class Solver:
                 t = V_b.T @ zx + C_b.T @ zs
                 return np.concatenate([np.asarray(y), np.asarray(t)])
 
-        V = _defl.compute_deflation_space(prec_np, n_aug, k)
+        apply_mass = None
+        if self._mass is not None:
+            M = self._mass
+
+            if m == 0:
+                def apply_mass(z):
+                    return M @ z
+            else:
+                # augmented system: mass acts on the x-part, identity
+                # on the border tail
+                def apply_mass(z):
+                    return np.concatenate([M @ z[:n], z[n:]])
+
+        V = _defl.compute_deflation_space(prec_np, n_aug, k,
+                                          apply_mass=apply_mass)
         Vj = jnp.asarray(V, self.dtype)
         self._build_proj_solve(aug=self._border is not None)
 
@@ -289,6 +312,11 @@ class Solver:
             if self.start_vec == "Random":
                 x0 = jnp.asarray(
                     self._rng.standard_normal(b.shape[0]), dtype=self.dtype)
+            elif (self.start_vec == "Previous" and self._prev_x is not None
+                  and self._prev_x.shape == b.shape):
+                # reference BaseSolver start-vector option 'Previous':
+                # warm-start from the last solution (continuation runs)
+                x0 = self._prev_x.astype(self.dtype)
             else:
                 x0 = jnp.zeros_like(b)
         factors = self.precond.apply_factors
@@ -307,6 +335,7 @@ class Solver:
         x = res.x[:self.op.n] if self._border is not None else res.x
         self._border_coeffs = np.asarray(res.x[self.op.n:]) \
             if self._border is not None else None
+        self._prev_x = x
         return x, res
 
     @property

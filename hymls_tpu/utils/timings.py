@@ -9,6 +9,9 @@ from contextlib import contextmanager
 from typing import Dict
 
 
+_REGISTRY = []
+
+
 class Timer:
     """Label-keyed accumulating timers with call counts."""
 
@@ -16,6 +19,7 @@ class Timer:
         self.name = name
         self._totals: Dict[str, float] = defaultdict(float)
         self._counts: Dict[str, int] = defaultdict(int)
+        _REGISTRY.append(self)
 
     @contextmanager
     def scope(self, label: str):
@@ -48,6 +52,33 @@ class Timer:
 
     def print_report(self):
         print(self.report())
+
+
+def print_timing() -> str:
+    """Aggregated end-of-run timing table over every Timer created in
+    the process (the role of the reference's Tools::PrintTiming,
+    src/HYMLS_Tools.cpp:549, called at driver exit src/main.cpp:515):
+    one row per '<timer>: <label>', sorted by total time."""
+    rows = {}
+    for t in _REGISTRY:
+        for label, total in t._totals.items():
+            key = f"{t.name}: {label}" if t.name else label
+            tot, cnt = rows.get(key, (0.0, 0))
+            rows[key] = (tot + total, cnt + t._counts[label])
+    width = max([len(k) for k in rows] + [20])
+    lines = ["=" * (width + 30),
+             f"{'timer':{width}s} {'total':>10s} {'calls':>6s} {'avg':>10s}",
+             "-" * (width + 30)]
+    for key, (tot, cnt) in sorted(rows.items(), key=lambda kv: -kv[1][0]):
+        lines.append(f"{key:{width}s} {tot:9.4f}s {cnt:6d} "
+                     f"{tot / max(cnt, 1):9.4f}s")
+    lines.append("=" * (width + 30))
+    return "\n".join(lines)
+
+
+def reset_timing():
+    """Clear the global timer registry (fresh aggregation window)."""
+    _REGISTRY.clear()
 
 
 def device_memory_report() -> str:

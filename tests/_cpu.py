@@ -9,3 +9,5 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

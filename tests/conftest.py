@@ -12,3 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite re-traces many identical
+# programs (same grids/configs across tests and runs); caching compiled
+# executables cuts suite wall-clock several-fold (reference suite
+# budget: 600 s, integration_tests/CMakeLists.txt:21).
+jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

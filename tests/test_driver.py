@@ -11,7 +11,7 @@ from hymls_tpu.driver import run_with_refinements
 CFG = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
-def _run(name, max_refines=1):
+def _run(name, max_refines=None):
     params = load_xml(os.path.join(CFG, name))
     reports = run_with_refinements(params, max_refines=max_refines)
     for i, r in enumerate(reports):
@@ -20,16 +20,25 @@ def _run(name, max_refines=1):
     return reports
 
 
+# The named BASELINE.md gates run at the reference's full refinement
+# depth (2 refinements = 3 grids, integration_tests.cpp:157-211):
+# constant iteration targets under refinement are the executable form
+# of the grid-independent-convergence claim.
+
 def test_laplace1():
-    _run("laplace1.xml")
+    _run("laplace1.xml")          # <=21 iters on 32^2 -> 64^2 -> 128^2
 
 
 def test_laplace3():
-    _run("laplace3.xml", max_refines=0)
+    _run("laplace3.xml", max_refines=1)
 
 
 def test_stokes1():
-    _run("stokes1.xml")
+    _run("stokes1.xml")           # <=23 iters on 32^2 -> 64^2 -> 128^2
+
+
+def test_stokes2():
+    _run("stokes2.xml")           # multilevel flagship: <=48 iters @128^2
 
 
 def test_bordering1():
@@ -43,4 +52,4 @@ def test_laplace2():
 
 @pytest.mark.slow
 def test_threeD1():
-    _run("threeD1.xml", max_refines=0)
+    _run("threeD1.xml", max_refines=1)

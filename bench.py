@@ -6,16 +6,31 @@ testSuite/cavity.xml:18-26,50-55).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Runs the TPU-native production path: Cartesian partition engaging the
-structured gather-free V-cycle (core/structured.py), factorization and
-Krylov iterations in f32 (native MXU/VPU; the TPU emulates f64 in
-software at ~10-30x cost), wrapped in an f64 iterative-refinement
-outer loop that runs as a single fused XLA program (no host syncs).
-Iteration parity with the reference is enforced each run via one
-mixed-precision f64-GMRES solve (f32 V-cycle inside f64 GMRES — the
-same iteration count as the all-f64 method): vs_baseline =
-reference_max_iters / achieved_iters >= 1.0 means the reference's
-cavity.xml target is met or beaten.
+Baseline semantics: `vs_baseline` is a WALL-CLOCK RATIO —
+baseline_seconds / our_seconds (>1 = we are faster) — where the
+baseline is a live-measured serial CPU sparse-direct factor+solve
+(scipy SuperLU) of the *same matrix* on the bench host.  That is the
+same work a reference Newton step does per subdomain with KLU, done
+globally: the strongest single-core CPU alternative available here
+(Trilinos itself is not installed; scipy ILU is structurally singular
+on these saddle-point matrices).  The reference's *achieved* iteration
+parity is reported per case in extra.cases[*].iters_f64 against the
+reference target cap — parity is a gate (ok flag), not the baseline.
+
+Cases (VERDICT round-1 item 2):
+  * cavity64_Re1000       — 64^2 driven-cavity Jacobian, Cartesian L=1
+                            structured path (the north-star config)
+  * stokes128_L2          — 128^2 Stokes-C, Cartesian L=2 multilevel
+                            structured path (no 128^2 Jacobian in the
+                            reference data set -> generated Stokes-C)
+  * stokes32cube_skew_L2  — 32^3 Stokes-C, skew partitioner, L=2
+  * structured_vs_generic — V-cycle apply: structured gather-free vs
+                            generic gather path on the cavity64 matrix
+                            (vs_baseline = generic/structured)
+
+Each case runs the TPU-native production path: f32 factorization +
+Krylov inside an f64 iterative-refinement loop, fused into a single
+XLA program per Newton step (factor + repack + solve, one dispatch).
 
 Measurement note: REPS factorization+solve pairs are dispatched
 asynchronously and the device is synced once — per-call device->host
@@ -36,106 +51,208 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REPS = 10
 DATA = "/root/reference/testSuite/data/DrivenCavity/64x64/Re1000"
-NX = 64
 TARGET_ITERS = 250      # testSuite/cavity.xml "Maximum Iterations"
 TOL = 1e-12             # testSuite/cavity.xml "Convergence Tolerance"
 
 
-def _load_problem():
+def _cavity64():
     """Reference DrivenCavity dataset if present, else the self-
     contained synthetic cavity Jacobian at the same Re."""
     if os.path.isdir(DATA):
         from hymls_tpu.utils.io import read_linear_system
         K, b, x_ex, ns, mass = read_linear_system(DATA)
-        return K, np.asarray(b), "reference-data"
+        return K.tocsr(), np.asarray(b), "reference-data"
     from hymls_tpu.stencils.navier_stokes import cavity_jacobian
-    K = cavity_jacobian(NX, NX, re=1000.0).tocsr()
+    K = cavity_jacobian(64, 64, re=1000.0).tocsr()
     rng = np.random.default_rng(0)
     b = K @ rng.standard_normal(K.shape[0])
     return K, b, "synthetic"
 
 
-def main():
-    from hymls_tpu.config import Params
-    from hymls_tpu.stencils import create_testvector
-    from hymls_tpu import Solver
-    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+def _splu_baseline(K, b, reps=3):
+    """Serial CPU sparse-direct factor+solve of the same system
+    (SuperLU; the per-Newton-step work of a direct method).  Returns
+    (seconds_per_factor_plus_solve, relres)."""
+    import scipy.sparse.linalg as spla
+    Kc = K.tocsc()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        lu = spla.splu(Kc)
+        x = lu.solve(b)
+    secs = (time.perf_counter() - t0) / reps
+    relres = float(np.linalg.norm(K @ x - b) / np.linalg.norm(b))
+    return secs, relres
 
-    K, b, source = _load_problem()
-    params = Params({
-        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
-                    "nx": NX, "ny": NX},
+
+def _stokes_params(nx, dim, levels, partitioner, sx=4):
+    from hymls_tpu.config import Params
+    prob = {"Equations": "Stokes-C", "Dimension": dim, "nx": nx, "ny": nx}
+    if dim == 3:
+        prob["nz"] = nx
+    return Params({
+        "Problem": prob,
         "Solver": {"Krylov Method": "GMRES",
                    "Left or Right Preconditioning": "Right",
                    "Initial Vector": "Zero",
                    "Iterative Solver": {"Maximum Iterations": TARGET_ITERS,
                                         "Convergence Tolerance": TOL}},
-        "Preconditioner": {"Partitioner": "Cartesian",
-                           "Separator Length": 4, "Number of Levels": 1},
+        "Preconditioner": {"Partitioner": partitioner,
+                           "Separator Length": sx,
+                           "Number of Levels": levels},
     })
-    tv = create_testvector(params, K)
 
+
+def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS):
+    """Time REPS fused Newton steps (f32 refactor + repack + IR solve,
+    one dispatch each) and the CPU splu baseline on the same matrix."""
+    from hymls_tpu.stencils import create_testvector
+    from hymls_tpu import Solver
+    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+
+    tv = create_testvector(params, K)
     S = IterativeRefinementSolver(K, params, testvector=tv)
     S.compute()
-    P = S.precond
 
-    # iteration parity vs the reference's cavity.xml target: a mixed
-    # f64-GMRES solve has the same count as the all-f64 method
-    S64 = Solver(K, P, params, dtype=jnp.float64)
+    # iteration parity vs the reference target: a mixed f64-GMRES solve
+    # has the same count as the all-f64 method
+    S64 = Solver(K, S.precond, params, dtype=jnp.float64)
     _, res64 = S64.apply_inverse(b)
     niter = int(res64.iters)
 
-    # warm-up: compile + first fused IR solve
-    x = S.solve(b)
+    x = S.solve(b)                       # warm-up: compile + first solve
     jax.block_until_ready(x)
 
     vals64 = S.op64.vals
     vals32 = S.solver.op.vals
     bj = jnp.asarray(b, jnp.float64)
     newton, dplans, extra, aplans = S.newton_step_fn()
-
-    # warm-up/compile of the single-dispatch Newton-step program
-    r = newton(vals64, vals32, dplans, extra, aplans, bj)
+    r = newton(vals64, vals32, dplans, extra, aplans, bj)   # compile
     jax.block_until_ready(r.x)
 
-    # timed: REPS x (f32 re-factorization + repack + fused IR solve)
-    # — the per-Newton-step cost of a continuation run — one program
-    # dispatch per rep, asynchronously chained, one sync at the end
     t0 = time.perf_counter()
     last = None
-    for i in range(REPS):
+    for i in range(reps):
         scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
         r = newton(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
                    dplans, extra, aplans, bj)
         last = r.x
     jax.block_until_ready(last)
-    elapsed = (time.perf_counter() - t0) / REPS
+    elapsed = (time.perf_counter() - t0) / reps
 
     xh = np.asarray(jax.device_get(last))
-    # the last rep used a slightly perturbed matrix; check against it
     Kp = K.copy()
-    Kp.data = Kp.data * (1.0 + 1e-6 * (REPS - 1))
+    Kp.data = Kp.data * (1.0 + 1e-6 * (reps - 1))
     relres = float(np.linalg.norm(Kp @ xh - b) / np.linalg.norm(b))
-    ok = relres <= 1e-11 and niter <= TARGET_ITERS
+
+    base_secs, base_relres = _splu_baseline(K, b)
+    ok = relres <= 1e-11 and niter <= target_iters
+    return {
+        "value": round(elapsed, 5),
+        "unit": "seconds/factor+solve",
+        "vs_baseline": round(base_secs / elapsed, 3) if ok else 0.0,
+        "ok": ok,
+        "baseline": {"method": "scipy SuperLU factor+solve (serial CPU)",
+                     "seconds": round(base_secs, 5),
+                     "relres": base_relres},
+        "iters_f64": niter,
+        "target_iters": target_iters,
+        "ir_inner_iters": int(jax.device_get(r.iters)),
+        "relres": relres,
+    }
+
+
+def _bench_apply_modes(params, K, b, reps=50):
+    """Structured gather-free apply vs generic gather apply — one
+    V-cycle application each (the per-Krylov-iteration cost)."""
+    from hymls_tpu.core.preconditioner import Preconditioner
+    from hymls_tpu.stencils import create_testvector
+
+    tv = create_testvector(params, K)
+    times = {}
+    for mode in ("generic", "structured"):
+        p = params.copy()
+        p.sublist("Preconditioner")["Structured Apply"] = \
+            (mode == "structured")
+        P = Preconditioner(K, p, testvector=tv, dtype=jnp.float32)
+        P.compute()
+        apply_fn, factors, dplans = None, None, None
+        fn = P.apply_inverse
+        r = jnp.asarray(b, jnp.float32)
+        y = fn(r)
+        jax.block_until_ready(y)         # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(y)                    # chain applies, no host sync
+        jax.block_until_ready(y)
+        times[mode] = (time.perf_counter() - t0) / reps
+    return {
+        "value": round(times["structured"], 6),
+        "unit": "seconds/apply",
+        "vs_baseline": round(times["generic"] / times["structured"], 3),
+        "baseline": {"method": "generic gather-path apply (same device)",
+                     "seconds": round(times["generic"], 6)},
+    }
+
+
+def main():
+    t_all = time.time()
+    device = str(jax.devices()[0])
+    cases = {}
+
+    # --- headline: cavity 64^2 Re1000, L=1 structured -------------------
+    K, b, source = _cavity64()
+    params = _stokes_params(64, 2, 1, "Cartesian")
+    head = _bench_newton(params, K, b, reps=10)
+    head["source"] = source
+    cases["cavity64_Re1000"] = head
+
+    # --- stokes 128^2 multilevel (L=2) ----------------------------------
+    try:
+        from hymls_tpu.stencils import create_matrix
+        p128 = _stokes_params(128, 2, 2, "Cartesian")
+        K128 = create_matrix(p128)
+        rng = np.random.default_rng(1)
+        b128 = K128 @ rng.standard_normal(K128.shape[0])
+        cases["stokes128_L2"] = _bench_newton(p128, K128, b128, reps=5)
+    except Exception as e:          # pragma: no cover - bench resilience
+        cases["stokes128_L2"] = {"error": repr(e)}
+
+    # --- stokes 32^3 skew L=2 -------------------------------------------
+    try:
+        from hymls_tpu.stencils import create_matrix
+        p3d = _stokes_params(32, 3, 2, "Skew Cartesian")
+        K3d = create_matrix(p3d)
+        rng = np.random.default_rng(2)
+        b3d = K3d @ rng.standard_normal(K3d.shape[0])
+        cases["stokes32cube_skew_L2"] = _bench_newton(p3d, K3d, b3d, reps=3)
+    except Exception as e:          # pragma: no cover - bench resilience
+        cases["stokes32cube_skew_L2"] = {"error": repr(e)}
+
+    # --- structured vs generic apply ------------------------------------
+    try:
+        cases["structured_vs_generic_apply"] = \
+            _bench_apply_modes(params, K, b)
+    except Exception as e:          # pragma: no cover - bench resilience
+        cases["structured_vs_generic_apply"] = {"error": repr(e)}
 
     result = {
         "metric": "cavity64_Re1000_factor_plus_solve",
-        "value": round(elapsed, 5),
+        "value": head["value"],
         "unit": "seconds",
-        "vs_baseline": round(TARGET_ITERS / max(niter, 1), 3) if ok else 0.0,
+        "vs_baseline": head["vs_baseline"],
         "extra": {
-            "reps": REPS,
-            "iters_f64_gmres": niter,
-            "target_iters": TARGET_ITERS,
-            "ir_inner_iters": int(jax.device_get(r.iters)),
-            "relres": relres,
-            "source": source,
-            "device": str(jax.devices()[0]),
+            "vs_baseline_semantics":
+                "baseline_seconds / our_seconds (>1 = faster than the "
+                "live-measured serial-CPU SuperLU direct factor+solve "
+                "of the same system on this host)",
+            "device": device,
             "path": "structured f32 factor + fused f32-Krylov/f64-IR",
+            "bench_wall_s": None,       # filled below
+            "cases": cases,
         },
     }
+    result["extra"]["bench_wall_s"] = round(time.time() - t_all, 1)
     print(json.dumps(result))
 
 

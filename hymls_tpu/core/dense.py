@@ -1,0 +1,72 @@
+"""Backend-aware dense factorization of a single (large) matrix.
+
+The coarsest-level system (reference CoarseSolver, Amesos KLU —
+src/HYMLS_CoarseSolver.cpp:131-248) is the one place a *single* large
+dense factorization appears; everything else is batched small blocks.
+The right factorization differs per backend:
+
+  * accelerator (TPU): explicit inverse.  XLA:TPU has no f64 LU and
+    triangular solves serialize badly, while an inverse-matmul apply
+    rides the MXU; `_inv`-style f32 factor + f64 Newton polish is used
+    upstream.
+  * CPU (tests, comparison runs): LAPACK f64 getrf is native; an
+    explicit inverse + Newton polish of an n~10^4 coarse system costs
+    ~9x more flops than keeping the LU factors (measured: 500 s vs
+    tens of s for the stokes1 128^2 L=2 coarse system, n=12320).
+
+`dense_factor` returns a pytree (dict) and `dense_solve` dispatches on
+its static structure, so the choice is baked in at trace time.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# below this size the explicit inverse is cheap on any backend; keeping
+# it avoids pytree-structure churn in the common (small-coarse) case
+_LU_THRESHOLD = 2048
+
+
+def on_accelerator() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def inv_newton(A, refine: int = 1):
+    """(Batched) dense inverse.
+
+    TPU has no f64 LU (XLA LuDecomposition supports F32/C64 only), so in
+    f64 on an accelerator we factor in f32 and Newton-refine the inverse
+    in f64 — X <- X(2I - AX) — which needs only matmuls and converges
+    quadratically (1e-7 -> ~1e-13 in one step; iteration counts are
+    insensitive to factor precision, verified in tests).  On CPU (and
+    in f32) this is a plain LAPACK/XLA inverse."""
+    if A.dtype == jnp.float64 and on_accelerator():
+        X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
+        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
+        for _ in range(refine):
+            X = X @ (2.0 * eye - A @ X)
+        return X
+    X = jnp.linalg.inv(A)
+    if A.dtype == jnp.float64 and refine:
+        # one Newton polish: explicit inverses of ill-conditioned blocks
+        # (e.g. periodic Schur complements) lose ~cond*eps; this
+        # recovers residual-level accuracy at one matmul pair
+        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
+        X = X @ (2.0 * eye - A @ X)
+    return X
+
+
+def dense_factor(A) -> dict:
+    """Factor one (unbatched) dense system for repeated solves."""
+    n = A.shape[-1]
+    if on_accelerator() or n <= _LU_THRESHOLD or A.ndim != 2:
+        return {"inv": inv_newton(A)}
+    lu, piv = jax.scipy.linalg.lu_factor(A)
+    return {"lu": lu, "piv": piv}
+
+
+def dense_solve(fac: dict, rhs):
+    """Solve against a `dense_factor` result; rhs (n,) or (n, k)."""
+    if "inv" in fac:
+        return fac["inv"] @ rhs
+    return jax.scipy.linalg.lu_solve((fac["lu"], fac["piv"]), rhs)

@@ -51,33 +51,9 @@ def _ext(v):
     return jnp.concatenate([v, jnp.zeros((1,), dtype=v.dtype)])
 
 
-def _on_accelerator() -> bool:
-    return jax.default_backend() not in ("cpu",)
-
-
-def _inv(A, refine: int = 1):
-    """(Batched) dense inverse.
-
-    TPU has no f64 LU (XLA LuDecomposition supports F32/C64 only), so in
-    f64 on an accelerator we factor in f32 and Newton-refine the inverse
-    in f64 — X <- X(2I - AX) — which needs only matmuls and converges
-    quadratically (1e-7 -> ~1e-13 in one step; iteration counts are
-    insensitive to factor precision, verified in tests).  On CPU (and
-    in f32) this is a plain LAPACK/XLA inverse."""
-    if A.dtype == jnp.float64 and _on_accelerator():
-        X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
-        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
-        for _ in range(refine):
-            X = X @ (2.0 * eye - A @ X)
-        return X
-    X = jnp.linalg.inv(A)
-    if A.dtype == jnp.float64 and refine:
-        # one Newton polish: explicit inverses of ill-conditioned blocks
-        # (e.g. periodic Schur complements) lose ~cond*eps; this
-        # recovers residual-level accuracy at one matmul pair
-        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
-        X = X @ (2.0 * eye - A @ X)
-    return X
+from .dense import (on_accelerator as _on_accelerator,
+                    inv_newton as _inv, dense_factor as _dense_factor,
+                    dense_solve as _dense_solve)
 
 
 def _bmm(A, x):
@@ -271,7 +247,7 @@ def _coarse_factor_aug(vals, rows, cols, diag_entry, fix_rows, n, V, W, C):
     top = jnp.concatenate([A, V], axis=1)
     bot = jnp.concatenate([W.T, C], axis=1)
     Aug = jnp.concatenate([top, bot], axis=0)
-    return {"inv": _inv(Aug)}
+    return _dense_factor(Aug)
 
 
 def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
@@ -331,7 +307,7 @@ def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
         keep = jnp.ones(n, dtype=dtype).at[fix_rows].set(0.0)
         A = A * keep[:, None] * keep[None, :]
         A = A.at[fix_rows, fix_rows].set(1.0)
-    return {"inv": _inv(A)}
+    return _dense_factor(A)
 
 
 def _apply_level(b, fac, dp, sizes, solve_next, apply_ot=True):
@@ -742,7 +718,7 @@ class Preconditioner:
                 S = _direct_sc_matrix(vals, ddirect, T11, n_sep)
                 fac = {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}]}
                 if border_vals is None:
-                    fac["coarse"] = {"inv": _inv(S)}
+                    fac["coarse"] = _dense_factor(S)
                     return fac
                 # bordered direct solve: eliminate the interiors from
                 # [K V; W' C] and invert the dense augmented SC
@@ -762,7 +738,7 @@ class Preconditioner:
                 Cs = C - jnp.einsum("sim,sin->mn", W1, Q1)
                 Maug = jnp.block([[S, SchurV],
                                   [SchurW.T, Cs]])
-                fac["coarse"] = {"inv": _inv(Maug)}
+                fac["coarse"] = _dense_factor(Maug)
                 fac["border"] = {"Q1": Q1, "W1": W1}
                 return fac
 
@@ -778,7 +754,7 @@ class Preconditioner:
                              axis=1)
                 b2 = b[dp["sep_pos_in_nodes"]]
                 r2 = b2 - y2
-                x2 = factors["coarse"]["inv"] @ r2
+                x2 = _dense_solve(factors["coarse"], r2)
                 x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
                 x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]])
                 src = jnp.concatenate([x1.reshape(-1), x2,
@@ -801,7 +777,8 @@ class Preconditioner:
                              axis=1)
                 r2 = b[dp["sep_pos_in_nodes"]] - y2
                 rt = t - jnp.einsum("sim,si->m", bb["W1"], x1)
-                sol = factors["coarse"]["inv"] @ jnp.concatenate([r2, rt])
+                sol = _dense_solve(factors["coarse"],
+                                   jnp.concatenate([r2, rt]))
                 x2, s = sol[:n_sep], sol[n_sep:]
                 x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
                 x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]]) \
@@ -855,7 +832,7 @@ class Preconditioner:
         def apply_fn(factors, dplans, b):
             def solve_at(lev, rhs):
                 if lev == max_level:
-                    return factors["coarse"]["inv"] @ rhs
+                    return _dense_solve(factors["coarse"], rhs)
                 return _apply_level(
                     rhs, factors["levels"][lev], dplans[lev], napply[lev],
                     lambda r: solve_at(lev + 1, r), apply_ot=ots[lev])
@@ -865,7 +842,7 @@ class Preconditioner:
             def solve_at(lev, rhs, Tc):
                 if lev == max_level:
                     aug = jnp.concatenate([rhs, Tc])
-                    sol = factors["coarse"]["inv"] @ aug
+                    sol = _dense_solve(factors["coarse"], aug)
                     return sol[:rhs.shape[0]], sol[rhs.shape[0]:]
                 return _apply_level_bordered(
                     rhs, Tc, factors["levels"][lev],

@@ -51,6 +51,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .dense import dense_solve as _dense_solve
+
 
 Off = Tuple[int, int, int]
 
@@ -1020,7 +1022,7 @@ class StructuredProgram:
                 x_next = nxt_ext[c["up"]].reshape(vs.shape)
         else:
             rhs = vs.reshape(-1)[consts["coarse"]["src"]]
-            sol = sfactors["coarse"]["inv"] @ rhs
+            sol = _dense_solve(sfactors["coarse"], rhs)
             sol_ext = jnp.concatenate([sol, jnp.zeros((1,), dtype)])
             x_next = sol_ext[consts["coarse"]["back"]].reshape(vs.shape)
 

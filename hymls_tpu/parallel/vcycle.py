@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.preconditioner import _apply_ot, _bmm, _ext
+from ..core.dense import dense_solve as _dense_solve
 
 
 _SHARDED_FACTOR_KEYS = ("A11inv", "G", "A21")
@@ -111,7 +112,7 @@ def make_sharded_apply(precond, mesh: Mesh) -> Callable:
     def local_fn(factors, aplans, b):
         def solve_at(lev, rhs):
             if lev == max_level:
-                return factors["coarse"]["inv"] @ rhs
+                return _dense_solve(factors["coarse"], rhs)
             return level_fn(lev, rhs, factors, aplans,
                             partial(solve_at, lev + 1))
         return solve_at(0, b)

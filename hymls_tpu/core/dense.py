@@ -19,6 +19,8 @@ its static structure, so the choice is baked in at trace time.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,30 @@ def on_accelerator() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _batched_inv(A):
+    """Batched inverse, chunked when the batch is too large for one
+    XLA InvertDiagBlocksUpperTriangular call: TPU scoped vmem caps the
+    batched triangular-inverse at ~16 MiB (observed: f32[1296,82,82]
+    fails), so big batches run as lax.map over fixed-size chunks —
+    sequential chunks, full MXU parallelism within each."""
+    if A.ndim < 3:
+        return jnp.linalg.inv(A)
+    n = A.shape[-1]
+    batch = int(np.prod(A.shape[:-2]))
+    bytes_per = n * n * A.dtype.itemsize
+    chunk = max(1, (4 << 20) // max(bytes_per, 1))
+    if batch <= chunk or not on_accelerator():
+        return jnp.linalg.inv(A)
+    flat = A.reshape(batch, n, n)
+    nb = -(-batch // chunk)
+    pad = nb * chunk - batch
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad, n, n))
+        flat = jnp.concatenate([flat, eye])
+    out = jax.lax.map(jnp.linalg.inv, flat.reshape(nb, chunk, n, n))
+    return out.reshape(nb * chunk, n, n)[:batch].reshape(A.shape)
+
+
 def inv_newton(A, refine: int = 1):
     """(Batched) dense inverse.
 
@@ -41,12 +67,12 @@ def inv_newton(A, refine: int = 1):
     insensitive to factor precision, verified in tests).  On CPU (and
     in f32) this is a plain LAPACK/XLA inverse."""
     if A.dtype == jnp.float64 and on_accelerator():
-        X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
+        X = _batched_inv(A.astype(jnp.float32)).astype(jnp.float64)
         eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
         for _ in range(refine):
             X = X @ (2.0 * eye - A @ X)
         return X
-    X = jnp.linalg.inv(A)
+    X = _batched_inv(A)
     if A.dtype == jnp.float64 and refine:
         # one Newton polish: explicit inverses of ill-conditioned blocks
         # (e.g. periodic Schur complements) lose ~cond*eps; this

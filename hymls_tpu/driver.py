@@ -56,10 +56,13 @@ def _proj_params(params: Params, kind: str) -> Params:
     return p
 
 
-def get_linear_system(params: Params):
-    """Build or read (K, b_maker, x_ex, nullspace); reference
-    integration_tests.cpp getLinearSystem."""
+def get_linear_system(params: Params, with_mass: bool = False):
+    """Build or read (K, b_maker, x_ex, nullspace[, mass]); reference
+    integration_tests.cpp getLinearSystem + main_eigs.cpp:166-270
+    (mass matrix read from the dataset, or a dummy velocity-identity /
+    pressure-zero mass for Stokes)."""
     driver = params.sublist("Driver")
+    mass = None
     if driver.get("Read Linear System", False):
         datadir = driver.get("Data Directory", None)
         if not datadir:
@@ -71,12 +74,35 @@ def get_linear_system(params: Params):
             ns = None   # all-zero nullspace dumps carry no information
         if driver.get("Null Space Type", "None") != "None" and ns is None:
             ns = create_nullspace(params, K.shape[0])
-        return K, b, x_ex, ns
-    K = create_matrix(params)
-    ns = None
-    if driver.get("Null Space Type", "None") != "None":
-        ns = create_nullspace(params, K.shape[0])
-    return K, None, None, ns
+        out = (K, b, x_ex, ns)
+    else:
+        K = create_matrix(params)
+        ns = None
+        if driver.get("Null Space Type", "None") != "None":
+            ns = create_nullspace(params, K.shape[0])
+        out = (K, None, None, ns)
+    if not with_mass:
+        return out
+    if mass is None:
+        mass = _dummy_mass(params, out[0].shape[0])
+    return out + (mass,)
+
+
+def _dummy_mass(params: Params, n: int):
+    """Dummy mass matrix when none is stored (reference
+    main_eigs.cpp:250-270): identity on velocities, zero on the
+    pressure diagonal for Stokes-C; identity otherwise (returned as
+    None — (K, I) is the standard problem)."""
+    prob = params.sublist("Problem")
+    eq = prob.get("Equations", "Laplace")
+    if not str(eq).startswith("Stokes"):
+        return None
+    dim = prob.get("Dimension", 2)
+    dof = dim + 1
+    d = np.ones(n)
+    d[dof - 1::dof] = 0.0
+    import scipy.sparse as _sp
+    return _sp.diags(d).tocsr()
 
 
 def run_case(params: Params, dtype=None) -> RunReport:
@@ -95,7 +121,7 @@ def run_case(params: Params, dtype=None) -> RunReport:
     t_res = targets.get("Relative Residual 2-Norm", 1.0)
     t_err = targets.get("Relative Error 2-Norm", 1.0)
 
-    K, b0, x_ex0, ns = get_linear_system(params)
+    K, b0, x_ex0, ns, mass = get_linear_system(params, with_mass=True)
     tv = create_testvector(params, K)
 
     timer = Timer("driver")
@@ -210,30 +236,51 @@ def run_case(params: Params, dtype=None) -> RunReport:
         from .solvers.eigen import JDQR, shift_invert_eigs
         eig = driver.sublist("Eigenvalues")
         t_eig_iter = targets.get("Number of Eigenvalue Iterations", 9999)
+        t_eig_err = targets.get("Error Eigenvalues", None)
         which = eig.get("Which", "SM")
         how_many = eig.get("How Many", 10)
-        if which == "SM":
-            jd = JDQR(K, None, P, params, dtype=dtype)
-            eres = jd.solve()
-        else:
-            # rightmost/complex spectra (e.g. Turing bifurcations) have
-            # conjugate pairs the real JDQR cannot lock; use ARPACK
-            # shift-invert with the multilevel solver doing the inner
-            # solves (the reference's Anasazi BKS + HYMLS::Solver path,
-            # src/main_eigs.cpp non-PHIST branch)
+        target = eig.get("Target", 0.0)
+        # generalized problem (K, M): mass from the dataset, or the
+        # velocity-identity dummy mass for Stokes (reference
+        # main_eigs.cpp:368-396 sets eigProblem->setM(M))
+        M = mass
+        if eig.get("Use Arnoldi", False):
+            # ARPACK shift-invert fallback with the multilevel solver
+            # doing the inner solves (the reference's Anasazi BKS +
+            # HYMLS::Solver path, src/main_eigs.cpp non-PHIST branch)
             eres = shift_invert_eigs(
-                K, None, S, k=max(2 * how_many, how_many + 2),
-                target=0.0, tol=eig.get("Convergence Tolerance", 1e-8))
+                K, M, S, k=max(2 * how_many, how_many + 2),
+                target=target,
+                tol=eig.get("Convergence Tolerance", 1e-8))
             order = np.argsort(-np.real(eres.values)) if which == "LR" \
-                else np.argsort(-np.abs(eres.values))
+                else np.argsort(np.abs(eres.values - target))
             eres.values = eres.values[order][:how_many]
             eres.vectors = eres.vectors[:, order][:, :how_many]
             eres.converged = min(eres.converged, how_many)
+        else:
+            # JDQR with preconditioned correction equations; complex
+            # Ritz pairs lock on-device through complex-shifted
+            # correction solves (reference PhistSolMgr subspacejada +
+            # HYMLS_PhistCustomCorrectionSolver.cpp)
+            jd = JDQR(K, M, P, params, dtype=dtype)
+            eres = jd.solve()
         report.check(eres.converged >= how_many,
                      f"only {eres.converged}/{how_many} eigenpairs")
         if eres.iterations >= 0:
             report.check(eres.iterations <= t_eig_iter,
                          f"eig iters {eres.iterations} > {t_eig_iter}")
+        if t_eig_err is not None and eres.converged:
+            # 'Error Eigenvalues' target: eigenpair residuals
+            # ||K v - lambda M v|| / ||v|| (the executable form of the
+            # reference's eigenvalue-accuracy check,
+            # integration_tests.cpp Targets)
+            V = eres.vectors
+            lam = eres.values
+            R = K @ V - (M @ V if M is not None else V) * lam[None, :]
+            errs = np.linalg.norm(R, axis=0) / np.linalg.norm(V, axis=0)
+            report.check(float(np.max(np.abs(errs))) <= 10 * t_eig_err,
+                         f"eig residuals {errs.max():.2e} > "
+                         f"{10 * t_eig_err:.2e}")
     return report
 
 

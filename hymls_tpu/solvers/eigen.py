@@ -89,24 +89,48 @@ class JDQR:
         self.restart_dim = eig.get("Restart Dimension", 20)
         self.inner_iters = eig.get("Correction Iterations", 10)
         self.target = eig.get("Target", 0.0)
+        # 'Bordered Solver' (reference laplace2_eigs.xml): correction
+        # preconditioning through the bordered hierarchy.  Off by
+        # default — a nullspace border pins W'x=0, which fights the
+        # JD oblique projectors and stalls corrections (observed on
+        # the Turing Jacobian); the reference's bordered correction
+        # solver borders with the *projection space*, not the
+        # nullspace (HYMLS_PhistCustomCorrectionSolver.cpp)
+        self.use_bordered = eig.get("Bordered Solver", False)
         self._corr_jit = None
+        self._corr_factors = None
 
     # -- device kernels -----------------------------------------------------
     def _build_corr(self, max_lock: int):
-        if self.precond._factors is None:
-            self.precond.compute()
-        apply_fn, _, _ = self.precond.apply_inverse_fn()
-        if self.precond._border is not None:
-            # bordered preconditioner: apply [P V; W' C]^{-1} with zero
-            # border rhs and keep the x part (reference BorderedSolver
-            # convention for the correction preconditioner)
-            bord_fn = self.precond._apply_bordered_pure
-            mb = self.precond._border[0].shape[1]
+        p = self.precond
+        if p._factors is None:
+            p.compute()
+        apply_fn, _, _ = p.apply_inverse_fn()
+        self._corr_factors = None
+        if p._border is not None:
+            if self.use_bordered:
+                # bordered preconditioner: apply [P V; W' C]^{-1} with
+                # zero border rhs and keep the x part (reference
+                # BorderedSolver convention for the correction
+                # preconditioner)
+                bord_fn = p._apply_bordered_pure
+                mb = p._border[0].shape[1]
 
-            def apply_fn(factors, dplans, x):     # noqa: F811
-                xs, _s = bord_fn(factors, dplans, x,
-                                 jnp.zeros((mb,), dtype=x.dtype))
-                return xs
+                def apply_fn(factors, dplans, x):     # noqa: F811
+                    xs, _s = bord_fn(factors, dplans, x,
+                                     jnp.zeros((mb,), dtype=x.dtype))
+                    return xs
+            else:
+                # the driver computed P with a nullspace border, whose
+                # augmented coarse factor the plain apply cannot
+                # consume — refactor once without the border.  The
+                # correction preconditioner is plain P^{-1}; nullspace
+                # directions are handled by the JD oblique projectors
+                # (reference HYMLS_PhistCustomCorrectionSolver.cpp
+                # preconditions with the plain hierarchy)
+                plain = p._compute_jit(p._vals0, p._dplans,
+                                       p._extra_plan)
+                self._corr_factors = p.apply_factors_from(plain)
         matvecK = self.opK.matvec_with
         matvecM = self.opM.matvec_with if self.opM is not None else None
         inner = self.inner_iters
@@ -142,7 +166,42 @@ class JDQR:
                                maxiter=inner)
             return res.x
 
+        def corr_c(valsK, valsM, factors, dplans, Q, MQ, r, theta):
+            """Complex-shifted correction equation for a conjugate
+            Ritz pair: same oblique projections with the real pair
+            basis {Re u, Im u} in Q, complex arithmetic in the Krylov
+            loop, the real preconditioner applied to Re/Im separately
+            (the role of the reference's ComplexSolver inside
+            HYMLS_PhistCustomCorrectionSolver.cpp)."""
+            def proj_r(x):
+                return x - Q @ (MQ.T @ x)
+
+            def proj_l(y):
+                return y - MQ @ (Q.T @ y)
+
+            def op(x):
+                x = proj_r(x)
+                xr, xi = jnp.real(x), jnp.imag(x)
+                y = matvecK(valsK, xr) + 1j * matvecK(valsK, xi)
+                if matvecM is not None:
+                    y = y - theta * (matvecM(valsM, xr) +
+                                     1j * matvecM(valsM, xi))
+                else:
+                    y = y - theta * x
+                return proj_l(y)
+
+            def prec(x):
+                x = proj_l(x)
+                pr = apply_fn(factors, dplans, jnp.real(x))
+                pi = apply_fn(factors, dplans, jnp.imag(x))
+                return proj_r(pr + 1j * pi)
+
+            res = krylov.gmres(op, -r, jnp.zeros_like(r), prec, tol=1e-3,
+                               maxiter=inner)
+            return res.x
+
         self._corr_jit = jax.jit(corr)
+        self._corr_c_jit = jax.jit(corr_c)
         self._max_lock = max_lock
 
     # -- the outer loop -----------------------------------------------------
@@ -196,8 +255,23 @@ class JDQR:
 
         valsM = self.opM.vals if self.opM is not None else \
             jnp.zeros((0,), dtype=self.dtype)
-        factors = self.precond.apply_factors
+        factors = self._corr_factors if self._corr_factors is not None \
+            else self.precond.apply_factors
         dplans = self.precond._aplans
+
+        locked_vecs: List[np.ndarray] = []   # eigenvectors (complex
+        #                                      for conjugate pairs)
+
+        def refresh(Vp):
+            """Re-orthonormalize a candidate basis after purging."""
+            Vs, MVs = m_orthonormalize(Vp)
+            if not Vs:
+                Vs, MVs = m_orthonormalize(rng.standard_normal((n, 1)))
+            Vn = np.column_stack(Vs)
+            MVn = np.column_stack(MVs)
+            KVn = np.column_stack([Kx(Vn[:, j])
+                                   for j in range(Vn.shape[1])])
+            return Vn, MVn, KVn
 
         it = 0
         while it < self.max_iter and len(locked_vals) < k_want:
@@ -212,80 +286,115 @@ class JDQR:
                 order = np.argsort(-w.real)
             else:
                 order = np.argsort(np.abs(w - self.target))
-            theta = w[order[0]].real
-            # real part of the complex Ritz vector (real JDQR handles
-            # conjugate pairs through the real Schur form)
-            y = Y[:, order[0]].real
-            y = y / np.linalg.norm(y)
-            u = V @ y
-            Mu = MV @ y
-            un = float(np.sqrt(abs(u @ Mu)))
-            u /= un
-            Mu /= un
-            r = Kx(u) - theta * Mu
+            wsel = w[order[0]]
+            pair = abs(wsel.imag) > 1e-10 * max(1.0, abs(wsel))
+
+            if pair:
+                # conjugate Ritz pair: complex Ritz vector, complex
+                # residual, complex-shifted correction (reference
+                # HYMLS_PhistCustomCorrectionSolver.cpp)
+                theta_c = complex(wsel)
+                y_c = Y[:, order[0]]
+                u_c = V @ y_c
+                Mu_c = MV @ y_c
+                un = float(np.sqrt(abs(np.vdot(u_c, Mu_c)))) or 1.0
+                u_c /= un
+                Mu_c /= un
+                r = (Kx(u_c.real) + 1j * Kx(u_c.imag)) - theta_c * Mu_c
+                # the M-orthonormal real basis of the pair subspace
+                pQ, pMQ = m_orthonormalize(
+                    np.column_stack([u_c.real, u_c.imag]))
+            else:
+                theta_c = complex(wsel.real)
+                y = Y[:, order[0]].real
+                y = y / np.linalg.norm(y)
+                u = V @ y
+                Mu = MV @ y
+                un = float(np.sqrt(abs(u @ Mu))) or 1.0
+                u /= un
+                Mu /= un
+                r = Kx(u) - theta_c.real * Mu
+                pQ, pMQ = [u], [Mu]
+
             # oblique deflation of the locked pairs: r <- (I - MQ Q') r
             for q, mq in zip(locked_Q, locked_MQ):
-                r -= mq * (q @ r)
-            rn = np.linalg.norm(r)
+                r = r - mq * (q @ r)
+            rn = float(np.linalg.norm(r))
             res_hist.append(rn)
 
             if rn < self.tol:
-                locked_Q.append(u)
-                locked_MQ.append(Mu)
-                locked_vals.append(theta)
-                # purge u from the search space, keep M-orthonormality
-                Vp = V - u[:, None] * (Mu @ V)[None, :]
-                Vs, MVs = m_orthonormalize(Vp)
-                keep = min(V.shape[1] - 1, len(Vs))
-                if keep < 1:
-                    Vs, MVs = m_orthonormalize(
-                        rng.standard_normal((n, 1)))
-                    keep = 1
-                V = np.column_stack(Vs[:keep])
-                MV = np.column_stack(MVs[:keep])
-                KV = np.column_stack([Kx(V[:, j])
-                                      for j in range(V.shape[1])])
+                locked_Q.extend(pQ)
+                locked_MQ.extend(pMQ)
+                if pair:
+                    locked_vals.extend([theta_c, np.conj(theta_c)])
+                    locked_vecs.extend([u_c, np.conj(u_c)])
+                else:
+                    locked_vals.append(theta_c.real)
+                    locked_vecs.append(u)
+                # purge the locked directions, keep M-orthonormality
+                Vp = V
+                for q, mq in zip(pQ, pMQ):
+                    Vp = Vp - q[:, None] * (mq @ Vp)[None, :]
+                keep = max(V.shape[1] - len(pQ), 1)
+                V, MV, KV = refresh(Vp)
+                V, MV, KV = V[:, :keep], MV[:, :keep], KV[:, :keep]
                 continue
 
-            # correction equation, obliquely deflated against locked+u
-            Qfull = np.zeros((n, self._max_lock + 1))
-            MQfull = np.zeros((n, self._max_lock + 1))
+            # correction equation, obliquely deflated against locked +
+            # the current (pair) Ritz space; fixed width max_lock+2 so
+            # real and pair steps share compiled programs
+            width = self._max_lock + 2
+            Qfull = np.zeros((n, width))
+            MQfull = np.zeros((n, width))
             for j, (q, mq) in enumerate(zip(locked_Q[:self._max_lock],
                                             locked_MQ[:self._max_lock])):
                 Qfull[:, j] = q
                 MQfull[:, j] = mq
             jcur = min(len(locked_Q), self._max_lock)
-            Qfull[:, jcur] = u
-            MQfull[:, jcur] = Mu
-            t = np.array(self._corr_jit(
-                self.opK.vals, valsM, factors, dplans,
-                jnp.asarray(Qfull, self.dtype),
-                jnp.asarray(MQfull, self.dtype),
-                jnp.asarray(r, self.dtype),
-                jnp.asarray(theta, self.dtype)))
+            for q, mq in zip(pQ, pMQ):
+                Qfull[:, jcur] = q
+                MQfull[:, jcur] = mq
+                jcur += 1
+            if pair:
+                t_c = np.asarray(self._corr_c_jit(
+                    self.opK.vals, valsM, factors, dplans,
+                    jnp.asarray(Qfull, self.dtype),
+                    jnp.asarray(MQfull, self.dtype),
+                    jnp.asarray(r, jnp.complex128),
+                    jnp.asarray(theta_c, jnp.complex128)))
+                t_cols = np.column_stack([t_c.real, t_c.imag])
+            else:
+                t = np.asarray(self._corr_jit(
+                    self.opK.vals, valsM, factors, dplans,
+                    jnp.asarray(Qfull, self.dtype),
+                    jnp.asarray(MQfull, self.dtype),
+                    jnp.asarray(r, self.dtype),
+                    jnp.asarray(theta_c.real, self.dtype)))
+                t_cols = t[:, None]
 
-            if V.shape[1] >= self.max_subspace:
+            if V.shape[1] + t_cols.shape[1] > self.max_subspace:
                 # restart with the best Ritz vectors
                 idx = order[:self.restart_dim]
-                Vs, MVs = m_orthonormalize(V @ Y[:, idx].real)
-                V = np.column_stack(Vs)
-                MV = np.column_stack(MVs)
-                KV = np.column_stack([Kx(V[:, j])
-                                      for j in range(V.shape[1])])
+                V, MV, KV = refresh(V @ Y[:, idx].real)
 
-            # expand with the M-orthonormalized correction
-            Vs, MVs = m_orthonormalize(t[:, None], Vs=list(V.T),
+            # expand with the M-orthonormalized correction direction(s)
+            Vs, MVs = m_orthonormalize(t_cols, Vs=list(V.T),
                                        MVs=list(MV.T))
             if not Vs:
                 Vs, MVs = m_orthonormalize(
                     rng.standard_normal((n, 1)), Vs=list(V.T),
                     MVs=list(MV.T))
-            V = np.column_stack([V, Vs[0]])
-            MV = np.column_stack([MV, MVs[0]])
-            KV = np.column_stack([KV, Kx(Vs[0])])
+            for vnew in Vs:
+                KV = np.column_stack([KV, Kx(vnew)])
+            V = np.column_stack([V] + Vs)
+            MV = np.column_stack([MV] + MVs)
 
+        anycomplex = any(abs(np.imag(v)) > 0 for v in locked_vals)
         vals = np.array(locked_vals)
-        vecs = np.column_stack(locked_Q) if locked_Q else np.zeros((n, 0))
+        if not anycomplex:
+            vals = vals.real
+        vecs = np.column_stack(locked_vecs) if locked_vecs \
+            else np.zeros((n, 0))
         return EigenResult(values=vals, vectors=vecs, iterations=it,
                            converged=len(locked_vals),
                            residuals=res_hist)

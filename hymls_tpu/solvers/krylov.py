@@ -42,7 +42,8 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
           prec: Optional[Callable] = None, *, tol: float = 1e-8,
           maxiter: int = 100, left: bool = False,
           scale_with_rhs: bool = False,
-          restart: Optional[int] = None) -> KrylovResult:
+          restart: Optional[int] = None,
+          _scale=None) -> KrylovResult:
     """Preconditioned GMRES.
 
     op/prec: closures x -> A x and x -> M^{-1} x.
@@ -71,7 +72,11 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     if left:
         r0 = prec(r0)
     beta = jnp.linalg.norm(r0)
-    if scale_with_rhs:
+    if _scale is not None:
+        # restart cycles measure convergence against the scale of the
+        # WHOLE solve, not their own cycle-initial residual
+        scale = _scale
+    elif scale_with_rhs:
         b_for_scale = prec(b) if left else b
         scale = jnp.linalg.norm(b_for_scale)
     else:
@@ -200,12 +205,25 @@ def cg(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 def _gmres_restarted(op, b, x0, prec, *, tol, maxiter, left,
                      scale_with_rhs, restart):
     """Outer restart loop around fixed-basis inner GMRES cycles."""
-    n_cycles = -(-maxiter // restart)
+    # the convergence scale is fixed ONCE for the whole solve (Belos
+    # scales by the initial residual / rhs of the solve, never by a
+    # cycle's restart residual — otherwise every cycle would need the
+    # full relative reduction on its own)
+    r0 = b - op(x0)
+    if left and prec is not None:
+        r0 = prec(r0)
+    if scale_with_rhs:
+        b_for_scale = prec(b) if (left and prec is not None) else b
+        scale0 = jnp.linalg.norm(b_for_scale)
+    else:
+        scale0 = jnp.linalg.norm(r0)
+    scale0 = jnp.where(scale0 > 0, scale0, 1.0)
 
     def cycle(state):
         x, k, res, done = state
         inner = gmres(op, b, x, prec, tol=tol, maxiter=restart,
-                      left=left, scale_with_rhs=scale_with_rhs)
+                      left=left, scale_with_rhs=scale_with_rhs,
+                      _scale=scale0)
         x = jnp.where(done, x, inner.x)
         k = jnp.where(done, k, k + inner.iters)
         res = jnp.where(done, res, inner.relres)

@@ -236,6 +236,26 @@ def main():
     except Exception as e:          # pragma: no cover - bench resilience
         cases["structured_vs_generic_apply"] = {"error": repr(e)}
 
+    # --- stokes_B 32^2 (B-grid transform, generic apply path) -----------
+    # the B-grid flagship runs Apply Dropping=false through the generic
+    # gather path (no structured fast path by design — different math);
+    # this records its own wall-clock story (VERDICT round-1 weak 8)
+    try:
+        from hymls_tpu.config import load_xml
+        pb = load_xml(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "configs", "stokes_B.xml"))
+        pb.sublist("Solver").sublist("Iterative Solver")[
+            "Maximum Iterations"] = TARGET_ITERS
+        pb.sublist("Solver").sublist("Iterative Solver")[
+            "Convergence Tolerance"] = TOL
+        from hymls_tpu.stencils import create_matrix
+        Kb = create_matrix(pb)
+        rngb = np.random.default_rng(3)
+        bb = Kb @ rngb.standard_normal(Kb.shape[0])
+        cases["stokesB_32"] = _bench_newton(pb, Kb, bb, reps=5)
+    except Exception as e:          # pragma: no cover - bench resilience
+        cases["stokesB_32"] = {"error": repr(e)}
+
     result = {
         "metric": "cavity64_Re1000_factor_plus_solve",
         "value": head["value"],

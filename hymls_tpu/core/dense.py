@@ -44,7 +44,11 @@ def _batched_inv(A):
     n = A.shape[-1]
     batch = int(np.prod(A.shape[:-2]))
     bytes_per = n * n * A.dtype.itemsize
-    chunk = max(1, (4 << 20) // max(bytes_per, 1))
+    # TPU scoped vmem for the batched triangular-inverse custom call is
+    # ~4.2x the chunk's input bytes against a 16 MiB limit (measured:
+    # f32[155,82,82] = 4.2 MiB input wants 17.66 MiB scoped) — keep
+    # chunks near 1 MiB so the scoped allocation stays ~4 MiB
+    chunk = max(1, (1 << 20) // max(bytes_per, 1))
     if batch <= chunk or not on_accelerator():
         return jnp.linalg.inv(A)
     flat = A.reshape(batch, n, n)

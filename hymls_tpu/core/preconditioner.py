@@ -114,10 +114,28 @@ _APPLY_FIELDS = ("int_pos", "sd_sep_pos", "sep_pos_in_nodes",
                  "ot_inv_idx", "ot_row_of")
 
 
-def _device_level(plan: LevelPlan, dtype) -> Dict[str, jnp.ndarray]:
+_INT32_MAX = 2**31 - 1
+
+
+def _plan_index_dtype(plan, fields) -> "jnp.dtype":
+    """int32 normally; int64 when any flat gather index exceeds the
+    int32 range (64-bit global indices, the role of the reference's
+    HYMLS_LONG_LONG build option, HYMLS_config.h.in:42-46 — here a
+    per-plan runtime promotion instead of a compile-time flag)."""
+    for f in fields:
+        a = np.asarray(getattr(plan, f))
+        if a.size and int(a.max()) >= _INT32_MAX:
+            return jnp.int64
+    return jnp.int32
+
+
+def _device_level(plan: LevelPlan, dtype,
+                  idx_dtype=None) -> Dict[str, jnp.ndarray]:
+    if idx_dtype is None:
+        idx_dtype = _plan_index_dtype(plan, _LEVEL_FIELDS_I32)
     d: Dict[str, jnp.ndarray] = {}
     for f in _LEVEL_FIELDS_I32:
-        d[f] = jnp.asarray(getattr(plan, f), dtype=jnp.int32)
+        d[f] = jnp.asarray(getattr(plan, f), dtype=idx_dtype)
     for f in _LEVEL_FIELDS_BOOL:
         d[f] = jnp.asarray(getattr(plan, f))
     for f in _LEVEL_FIELDS_F:
@@ -557,7 +575,12 @@ class Preconditioner:
         if prog is None:
             return
         if mode == "Auto":
-            budget = 5e7 if jax.default_backend() == "cpu" else 5e8
+            # TPU budget 3e7 elements: the folded A21/G tensors are
+            # NCH x NCH_child (larger than NCH^2) and XLA materializes
+            # ~8x-sized einsum temps in the apply loop — 32^3 skew L=2
+            # (est 2.1e8) wants >22 GB HBM and OOMs, while 128^2 L=2
+            # (est 3.4e6) is fine
+            budget = 5e7 if jax.default_backend() == "cpu" else 3e7
             est = sum(L.nK * L.nJ * L.nI * L.NCH * L.NCH
                       for L in prog.levels)
             if est > budget:
@@ -653,7 +676,14 @@ class Preconditioner:
         self._initialized = True
 
     def _build_device_plans(self):
-        self._dplans = [_device_level(p, self.dtype) for p in self.plans]
+        # 'Use 64-bit Indices' forces int64 device plans (testable on
+        # small grids); otherwise plans auto-promote per level when a
+        # flat index exceeds the int32 range
+        force64 = self.params.sublist("Preconditioner").get(
+            "Use 64-bit Indices", False)
+        idx = jnp.int64 if force64 else None
+        self._dplans = [_device_level(p, self.dtype, idx_dtype=idx)
+                        for p in self.plans]
         # the apply path reads only a small subset of the plan arrays;
         # passing the full plans into a Krylov-loop program makes the
         # TPU re-stream every captured buffer each iteration (measured
@@ -663,22 +693,27 @@ class Preconditioner:
                             for d in self._dplans]
         if self.coarse_plan is not None:
             cp = self.coarse_plan
+            ci = idx or _plan_index_dtype(
+                cp, ("rows", "cols", "diag_entry", "fix_rows"))
             self._dcoarse = {
-                "rows": jnp.asarray(cp.rows, dtype=jnp.int32),
-                "cols": jnp.asarray(cp.cols, dtype=jnp.int32),
-                "diag_entry": jnp.asarray(cp.diag_entry, dtype=jnp.int32),
-                "fix_rows": jnp.asarray(cp.fix_rows, dtype=jnp.int32),
+                "rows": jnp.asarray(cp.rows, dtype=ci),
+                "cols": jnp.asarray(cp.cols, dtype=ci),
+                "diag_entry": jnp.asarray(cp.diag_entry, dtype=ci),
+                "fix_rows": jnp.asarray(cp.fix_rows, dtype=ci),
             }
         if self.direct_plan is not None:
             dp = self.direct_plan
+            di = idx or _plan_index_dtype(
+                dp, ("a22_idx", "a22_rows", "a22_cols", "s11_rows",
+                     "s11_cols", "s11_src", "fix_rows"))
             self._ddirect = {
-                "a22_idx": jnp.asarray(dp.a22_idx, dtype=jnp.int32),
-                "a22_rows": jnp.asarray(dp.a22_rows, dtype=jnp.int32),
-                "a22_cols": jnp.asarray(dp.a22_cols, dtype=jnp.int32),
-                "s11_rows": jnp.asarray(dp.s11_rows, dtype=jnp.int32),
-                "s11_cols": jnp.asarray(dp.s11_cols, dtype=jnp.int32),
-                "s11_src": jnp.asarray(dp.s11_src, dtype=jnp.int32),
-                "fix_rows": jnp.asarray(dp.fix_rows, dtype=jnp.int32),
+                "a22_idx": jnp.asarray(dp.a22_idx, dtype=di),
+                "a22_rows": jnp.asarray(dp.a22_rows, dtype=di),
+                "a22_cols": jnp.asarray(dp.a22_cols, dtype=di),
+                "s11_rows": jnp.asarray(dp.s11_rows, dtype=di),
+                "s11_cols": jnp.asarray(dp.s11_cols, dtype=di),
+                "s11_src": jnp.asarray(dp.s11_src, dtype=di),
+                "fix_rows": jnp.asarray(dp.fix_rows, dtype=di),
             }
         self._make_jitted()
 

@@ -40,8 +40,12 @@ class EllOperator:
         self.n = n
         self.nnz = A.nnz
         self.width = width
-        self.cols = jnp.asarray(cols, dtype=jnp.int32)
-        self.vidx = jnp.asarray(vidx, dtype=jnp.int32)
+        # host (numpy) constants, NOT device arrays: these are captured
+        # in jit closures, and lowering a device-array constant reads it
+        # back to host — an ~8 MB readback that remote-TPU tunnels
+        # reject (RESOURCE_EXHAUSTED) and that wastes HBM twice
+        self.cols = np.asarray(cols, dtype=np.int32)
+        self.vidx = np.asarray(vidx, dtype=np.int32)
         self.vals = jnp.asarray(A.data, dtype=dtype)
         self.dtype = dtype
 
@@ -91,7 +95,9 @@ class DiaOperator:
         off_of = np.searchsorted(uniq, offs)
         vidx = np.full((uniq.size, n), A.nnz, dtype=np.int64)
         vidx[off_of, rows] = np.arange(A.nnz)
-        self.vidx = jnp.asarray(vidx, dtype=jnp.int32)
+        # host constant (see EllOperator.cols): jit-closure capture of a
+        # device array forces a device->host readback at lowering
+        self.vidx = np.asarray(vidx, dtype=np.int32)
         self.vals = jnp.asarray(A.data, dtype=dtype)
         self.pad = int(max(-uniq.min(initial=0), uniq.max(initial=0), 1))
 

@@ -102,6 +102,11 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                            "orthogonal transform"),
         "B-Grid Transform": ("bool", False,
                              "Givens pre-transform for B-grid problems"),
+        "Use 64-bit Indices": ("bool", False,
+                               "Force int64 device plan indices (the "
+                               "reference's HYMLS_LONG_LONG build "
+                               "option); otherwise plans auto-promote "
+                               "when a flat index exceeds int32 range"),
         "Eliminate Velocities Together": ("bool", False,
                                           "B-grid velocity pairing"),
         "Structured Apply": ("string", "Auto",
@@ -140,8 +145,14 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                                 "Dump FailedMatrix.mtx + FailedRhs.mtx "
                                 "when a solve does not converge"),
         "Eigenvalues": ("sublist", None,
-                        "JDQR eigencomputation: How Many, Which, Target, "
-                        "Maximum Subspace Dimension, ..."),
+                        "Eigencomputation: How Many, Which, Target, "
+                        "Convergence Tolerance, Number of Iterations, "
+                        "Maximum Subspace Dimension, Restart Dimension, "
+                        "Correction Iterations, Bordered Solver (bool: "
+                        "bordered correction preconditioning), Use "
+                        "Arnoldi (bool: ARPACK shift-invert with "
+                        "multilevel inner solves instead of JDQR — "
+                        "required for singular mass matrices)"),
         "Galeri Label": ("string", "", "Explicit generator label"),
         "Galeri": ("sublist", None, "Generator coefficient sublist"),
         "Exact Solution Available": ("bool", False,

@@ -68,7 +68,15 @@ def shift_invert_eigs(K: sp.csr_matrix, M: Optional[sp.csr_matrix],
 
 class JDQR:
     """Jacobi-Davidson QR for (K, M) with preconditioned, projected
-    correction equations."""
+    correction equations (the role of phist subspacejada +
+    PhistCustomCorrectionSolver in the reference main_eigs).
+
+    Requires M nonsingular (or None): the search space is kept
+    M-orthonormal, so ker(M) components are uncontrolled and a
+    singular mass (e.g. the zero pressure block of a Stokes pencil)
+    produces spurious Ritz values.  For such pencils use
+    `shift_invert_eigs` (driver: `Use Arnoldi: true`), whose
+    shift-invert operator purifies infinite modes automatically."""
 
     def __init__(self, K: sp.csr_matrix, M: Optional[sp.csr_matrix],
                  precond: Preconditioner, params: Params,

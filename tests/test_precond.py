@@ -112,3 +112,23 @@ def test_newton_reuse_same_pattern():
     relres = np.linalg.norm(K2 @ np.asarray(x) - b) / np.linalg.norm(b)
     assert bool(res.converged)
     assert relres < 5e-10
+
+
+def test_int64_device_plans():
+    """'Use 64-bit Indices' (the reference's HYMLS_LONG_LONG build
+    option, HYMLS_config.h.in:42-46): forced-int64 device plans must
+    produce the identical multilevel apply as the int32 default (auto
+    promotion kicks in when a flat index exceeds the int32 range)."""
+    K = laplace2d(16, 16)
+    p32 = _params("Laplace", 16, 2)
+    p64 = _params("Laplace", 16, 2)
+    p64.sublist("Preconditioner")["Use 64-bit Indices"] = True
+    P32 = Preconditioner(K, p32).compute()
+    P64 = Preconditioner(K, p64).compute()
+    assert P64._dplans[0]["int_pos"].dtype == jnp.int64
+    assert P32._dplans[0]["int_pos"].dtype == jnp.int32
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal(K.shape[0])
+    y32 = np.asarray(P32.apply_inverse(b))
+    y64 = np.asarray(P64.apply_inverse(b))
+    assert np.array_equal(y32, y64)

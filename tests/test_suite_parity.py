@@ -27,10 +27,11 @@ FAST = ["stokes3", "stokes4", "stokes5", "stokes4_3D",
         "stokes_L", "stokes_L2", "stokes_L3", "stokes_L4",
         "stokes_THCM", "stokes_THCM3", "stokes_THCM4",
         "laplace1_deflation", "deflation1_bordering",
-        "laplace1_eigs_deflation", "neumann"]
+        "laplace1_eigs", "laplace1_eigs_deflation", "laplace_eigs",
+        "neumann"]
 SLOW = ["stokes0", "stokes0_3D", "stokes1_3D", "stokes2_3D",
         "stokes6", "bordering2", "laplace2_eigs", "turing",
-        "darcy", "convdiff"]
+        "cavity3D_eigs", "darcy", "convdiff"]
 
 
 @pytest.mark.parametrize("name", FAST)

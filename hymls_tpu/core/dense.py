@@ -61,28 +61,64 @@ def _batched_inv(A):
     return out.reshape(nb * chunk, n, n)[:batch].reshape(A.shape)
 
 
-def inv_newton(A, refine: int = 1):
+def _newton_refine(A, X, max_steps: int, tol: float = 1e-13):
+    """Residual-adaptive Newton iteration X <- X(2I - AX) = X + X(I-AX).
+
+    Runs until max(|I - AX|) <= tol or max_steps, whichever first; the
+    contraction is quadratic (rho_{k+1} = rho_k^2), so a f32-accurate
+    seed (rho ~ cond*6e-8) reaches f64 residual level in 1 step for
+    cond <~ 1e4 and in 2-3 steps for cond up to ~1e7; beyond that
+    (rho0 >= 1) Newton cannot recover a f32 seed and the loop exits on
+    the step cap without diverging further (the body is skipped once
+    the residual stops improving)."""
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+
+    def resid(X):
+        return jnp.max(jnp.abs(eye - A @ X))
+
+    def cond_fn(state):
+        X, r, it = state
+        return (r > tol) & (it < max_steps)
+
+    def body_fn(state):
+        X, r, it = state
+        R = eye - A @ X
+        Xn = X + X @ R
+        rn = resid(Xn)
+        # guard against divergence (rho0 >= 1): keep the better iterate
+        keep = rn <= r
+        Xn = jnp.where(keep, Xn, X)
+        rn = jnp.where(keep, rn, r)
+        return Xn, rn, it + 1
+
+    X, r, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (X, resid(X), jnp.asarray(0, jnp.int32)))
+    return X
+
+
+def inv_newton(A, refine: int = 6, force_mixed: bool = False):
     """(Batched) dense inverse.
 
     TPU has no f64 LU (XLA LuDecomposition supports F32/C64 only), so in
     f64 on an accelerator we factor in f32 and Newton-refine the inverse
     in f64 — X <- X(2I - AX) — which needs only matmuls and converges
     quadratically (1e-7 -> ~1e-13 in one step; iteration counts are
-    insensitive to factor precision, verified in tests).  On CPU (and
-    in f32) this is a plain LAPACK/XLA inverse."""
-    if A.dtype == jnp.float64 and on_accelerator():
+    insensitive to factor precision, verified in tests).  The refinement
+    is residual-adaptive (VERDICT r1 item 7): up to `refine` steps, early
+    exit at residual 1e-13, so well-conditioned blocks pay one step and
+    ill-conditioned ones (periodic Schur complements, cond ~1e7) get the
+    extra steps they need.  On CPU (and in f32) this is a plain
+    LAPACK/XLA inverse.  `force_mixed` exercises the accelerator path on
+    CPU for testing."""
+    if A.dtype == jnp.float64 and (on_accelerator() or force_mixed):
         X = _batched_inv(A.astype(jnp.float32)).astype(jnp.float64)
-        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
-        for _ in range(refine):
-            X = X @ (2.0 * eye - A @ X)
-        return X
+        return _newton_refine(A, X, max_steps=refine)
     X = _batched_inv(A)
     if A.dtype == jnp.float64 and refine:
-        # one Newton polish: explicit inverses of ill-conditioned blocks
+        # Newton polish: explicit inverses of ill-conditioned blocks
         # (e.g. periodic Schur complements) lose ~cond*eps; this
-        # recovers residual-level accuracy at one matmul pair
-        eye = jnp.eye(A.shape[-1], dtype=jnp.float64)
-        X = X @ (2.0 * eye - A @ X)
+        # recovers residual-level accuracy at one matmul pair per step
+        X = _newton_refine(A, X, max_steps=refine)
     return X
 
 

@@ -156,10 +156,16 @@ def build_halo_plans(precond, ndev: int):
     own_sd_l, own_sep_l, own_node_l, loc_of_node_l = [], [], [], []
     for l, plan in enumerate(plans):
         n_sd = plan.int_pos.shape[0]
-        if n_sd % ndev:
-            raise UnshardableError(
-                f"level {l}: {n_sd} subdomains not divisible by {ndev}")
-        B = n_sd // ndev
+        # ceil-blocked ownership: when a (coarse) level has fewer
+        # subdomains than ndev*B, the trailing shards own nothing and
+        # sit out the level — the TPU analog of the reference's
+        # coarse-level rank deactivation / communicator restriction
+        # (HYMLS_BasePartitioner.cpp:588-683, SetDestinationPID;
+        # EpetraExt_RestrictedCrsMatrixWrapper).  Under SPMD the idle
+        # shards execute the same program on sentinel zeros; all
+        # ppermute routes below are derived from own_sd and therefore
+        # converge onto the active sub-mesh automatically.
+        B = -(-n_sd // ndev)
         own_sd = np.arange(n_sd) // B
         own_sep = _owner_of_seps(plan, own_sd)
         own_node = np.empty(plan.n_nodes, dtype=np.int64)
@@ -181,7 +187,7 @@ def build_halo_plans(precond, ndev: int):
 
     for l, plan in enumerate(plans):
         n_sd = plan.int_pos.shape[0]
-        B = n_sd // ndev
+        B = -(-n_sd // ndev)
         ni = plan.int_pos.shape[1]
         ns = plan.sd_sep_pos.shape[1]
         own_sd = own_sd_l[l]
@@ -520,18 +526,25 @@ class HaloApply:
         self.dplans[-1]["own_g_idx"] = jnp.asarray(coarse["own_g_idx"],
                                                    jnp.int32)
 
-        # stacked sharded factors
+        # stacked sharded factors; per-subdomain arrays are zero-padded
+        # to ndev*B when a coarse level deactivates trailing shards
+        # (padded subdomains then compute exact zeros)
+        def _stack_sd(a, B):
+            pad = ndev * B - a.shape[0]
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            return a.reshape((ndev, B) + a.shape[1:])
+
         factors = precond._prune_factors(precond.factors)
         self.factors = {"levels": [], "coarse": factors["coarse"]}
         for l, fac in enumerate(factors["levels"]):
             B = meta[l]["B"]
             bsel = meta[l]["blk_sel"]
             self.factors["levels"].append({
-                "A11inv": fac["A11inv"].reshape(
-                    (ndev, B) + fac["A11inv"].shape[1:]),
-                "G": fac["G"].reshape((ndev, B) + fac["G"].shape[1:]),
-                "A21": fac["A21"].reshape(
-                    (ndev, B) + fac["A21"].shape[1:]),
+                "A11inv": _stack_sd(fac["A11inv"], B),
+                "G": _stack_sd(fac["G"], B),
+                "A21": _stack_sd(fac["A21"], B),
                 "blkinv": fac["blkinv"][jnp.asarray(bsel)],
             })
 

@@ -1,0 +1,124 @@
+"""f64-via-f32 mixed-precision dense inverse accuracy (VERDICT r1 item 7).
+
+The TPU path of `inv_newton` factors in f32 and Newton-refines in f64
+(XLA:TPU has no f64 LU).  These tests force that path on CPU
+(`force_mixed=True`) and check that the residual-adaptive refinement
+recovers f64 residual accuracy on ill-conditioned blocks of the kind the
+multilevel method produces (periodic Schur complements, reference
+src/HYMLS_SchurPreconditioner.cpp:520-629 next-level matrices).
+"""
+import _cpu  # noqa: F401  (pin CPU backend before jax init)
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hymls_tpu.core.dense import inv_newton
+
+
+def _spd_with_cond(n, cond, rng, batch=None):
+    """Random SPD matrix (or batch) with prescribed 2-norm condition."""
+    def one():
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.logspace(0, -np.log10(cond), n)
+        return (Q * d) @ Q.T
+    if batch is None:
+        return one()
+    return np.stack([one() for _ in range(batch)])
+
+
+def _resid(A, X):
+    eye = np.eye(A.shape[-1])
+    return float(np.max(np.abs(eye - A @ X)))
+
+
+@pytest.mark.parametrize("cond", [1e2, 1e5, 1e7])
+def test_mixed_inverse_ill_conditioned(cond):
+    """The attainable Newton residual floor is ~cond*eps64 (the rounding
+    of computing AX); parity with an exact f64 inverse, not an absolute
+    tolerance, is the correct claim (measured: mixed 2.3e-10 vs numpy
+    2.5e-10 at cond 1e7)."""
+    rng = np.random.default_rng(42)
+    A = _spd_with_cond(24, cond, rng, batch=8)
+    X = np.asarray(inv_newton(jnp.asarray(A), force_mixed=True))
+    r_ref = _resid(A, np.linalg.inv(A))
+    assert _resid(A, X) < 10 * r_ref + 1e-13
+
+
+def test_mixed_inverse_divergence_guard():
+    """Beyond cond ~2e7 the f32 seed has residual >= 1 and Newton cannot
+    converge; the guard must keep the best iterate (never blow up)."""
+    rng = np.random.default_rng(7)
+    A = _spd_with_cond(24, 1e10, rng)
+    Af32seed = np.asarray(
+        jnp.linalg.inv(jnp.asarray(A, jnp.float32)), np.float64)
+    r0 = _resid(A, Af32seed)
+    X = np.asarray(inv_newton(jnp.asarray(A), force_mixed=True))
+    assert np.isfinite(X).all()
+    assert _resid(A, X) <= r0 * (1 + 1e-9)
+
+
+def test_mixed_inverse_early_exit_matches_full():
+    """Well-conditioned blocks: the adaptive loop must reach the same
+    accuracy as an exact f64 inverse (early exit, no wasted steps is a
+    perf property; here we check accuracy parity)."""
+    rng = np.random.default_rng(3)
+    A = _spd_with_cond(16, 10.0, rng, batch=4)
+    X = np.asarray(inv_newton(jnp.asarray(A), force_mixed=True))
+    Xref = np.linalg.inv(A)
+    assert np.max(np.abs(X - Xref)) < 1e-12
+
+
+def test_multilevel_f64_through_mixed_path():
+    """Full multilevel f64 solve (Stokes-C 32^2, L=2 — the stokes2-class
+    shape) with every batched/dense inverse forced through the
+    f32-factor + Newton path: relative residual and iteration count must
+    match the all-f64 method (the reference hits 1e-10-class tolerances
+    with KLU in f64, src/HYMLS_SparseDirectSolver.cpp; our TPU path must
+    not lose that)."""
+    import functools
+
+    import hymls_tpu.core.preconditioner as pc
+    from hymls_tpu.config import Params
+    from hymls_tpu.stencils import create_matrix, create_testvector
+    from hymls_tpu import Preconditioner, Solver
+
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Left or Right Preconditioning": "Right",
+                   "Initial Vector": "Zero",
+                   "Iterative Solver": {"Maximum Iterations": 100,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 2},
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    rng = np.random.default_rng(0)
+    x_ex = rng.standard_normal(K.shape[0])
+    x_ex -= x_ex.mean()
+    b = K @ x_ex
+
+    orig = pc._inv
+    pc._inv = functools.partial(inv_newton, force_mixed=True)
+    try:
+        P = Preconditioner(K, params, testvector=tv, dtype=jnp.float64)
+        S = Solver(K, P, params, dtype=jnp.float64)
+        P.compute()
+        x, res = S.apply_inverse(b)
+        iters_mixed = int(res.iters)
+        relres = float(np.linalg.norm(K @ np.asarray(x) - b)
+                       / np.linalg.norm(b))
+    finally:
+        pc._inv = orig
+
+    P2 = Preconditioner(K, params, testvector=tv, dtype=jnp.float64)
+    S2 = Solver(K, P2, params, dtype=jnp.float64)
+    P2.compute()
+    _, res2 = S2.apply_inverse(b)
+    iters_f64 = int(res2.iters)
+
+    assert relres <= 1e-10
+    assert iters_mixed <= iters_f64 + 2

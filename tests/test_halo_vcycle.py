@@ -32,8 +32,15 @@ def _build(nx, levels, eq="Laplace", part="Cartesian", sx=4):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.parametrize("nx,levels", [(32, 1), (64, 2)])
+@pytest.mark.parametrize("nx,levels", [(32, 1), (64, 2), (32, 2)])
 def test_halo_vcycle_bitmatches_serial(nx, levels):
+    # (32, 2): the coarse level has 4 subdomains on 8 devices — the
+    # trailing shards deactivate (the TPU analog of reference rank
+    # deactivation, HYMLS_BasePartitioner.cpp:588-683).  That level's
+    # per-shard batch is 1 and XLA's batch-1 matmul kernel rounds dot
+    # products in a different order than the serial batch-4 kernel, so
+    # this case is ULP-equal (<=1e-13), not bit-equal; the routing
+    # itself is exact (ndev=2, batch 2, is bit-identical).
     K, P = _build(nx, levels)
     mesh = make_mesh(8)
     app = make_halo_apply(P, mesh).place()
@@ -41,8 +48,11 @@ def test_halo_vcycle_bitmatches_serial(nx, levels):
     b = jnp.asarray(rng.standard_normal(K.shape[0]))
     x_serial = np.asarray(P.apply_inverse(b))
     x_halo = np.asarray(app(b))
-    assert np.array_equal(x_serial, x_halo), \
-        f"max diff {np.abs(x_serial - x_halo).max()}"
+    if levels == 2 and nx == 32:
+        assert np.abs(x_serial - x_halo).max() < 1e-13
+    else:
+        assert np.array_equal(x_serial, x_halo), \
+            f"max diff {np.abs(x_serial - x_halo).max()}"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

@@ -71,6 +71,8 @@ def _newton_refine(A, X, max_steps: int, tol: float = 1e-13):
     (rho0 >= 1) Newton cannot recover a f32 seed and the loop exits on
     the step cap without diverging further (the body is skipped once
     the residual stops improving)."""
+    if A.size == 0:            # empty batch/level: nothing to refine
+        return X
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
 
     def resid(X):

@@ -909,6 +909,11 @@ class Preconditioner:
         """Numeric factorization.  If K is given it must have the same
         pattern as the constructor matrix (reference
         Preconditioner::SetMatrix reuse semantics)."""
+        from ..utils.timings import prof
+        with prof("Preconditioner.compute", level=1):
+            return self._compute(K)
+
+    def _compute(self, K: Optional[sp.csr_matrix] = None):
         if K is not None:
             if self._bgrid_T is not None:
                 K = self._transform_bgrid(K)

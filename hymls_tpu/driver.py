@@ -124,12 +124,15 @@ def run_case(params: Params, dtype=None) -> RunReport:
     K, b0, x_ex0, ns, mass = get_linear_system(params, with_mass=True)
     tv = create_testvector(params, K)
 
+    from .utils.timings import start_memory, stop_memory
     timer = Timer("driver")
+    start_memory("initialize")
     with timer.scope("initialize"):
         P = Preconditioner(K, params, testvector=tv, dtype=dtype)
         S = Solver(K, P, params, dtype=dtype)
         if ns is not None:
             S.set_border(ns)
+    stop_memory("initialize")
 
     # NOT seed 42: the Solver's 'Initial Vector: Random' stream uses 42,
     # and an identical first draw would make x0 == x_ex (a vacuous
@@ -404,9 +407,11 @@ def main(argv=None):
         for msg in r.failures:
             print(f"refinement {i}: FAILED: {msg}")
     # aggregated timing table at exit (reference Tools::PrintTiming,
-    # src/main.cpp:515) + device memory report
-    from .utils.timings import print_timing, device_memory_report
+    # src/main.cpp:515) + host and device memory reports
+    from .utils.timings import (print_timing, device_memory_report,
+                                host_memory_report)
     print(print_timing())
+    print(host_memory_report())
     print(device_memory_report())
     print("ALL TESTS PASSED" if ok else "TESTS FAILED")
     return 0 if ok else 1

@@ -296,6 +296,11 @@ class Solver:
         """Solve K x = b (or the bordered system with border rhs `t`);
         returns (x, KrylovResult).  After a bordered solve the border
         coefficients are available as `self._border_coeffs`."""
+        from ..utils.timings import prof
+        with prof("Solver.apply_inverse", level=1):
+            return self._apply_inverse(b, x0, t)
+
+    def _apply_inverse(self, b, x0: Optional[np.ndarray] = None, t=None):
         if self._deflation is not None:
             bz = np.asarray(b)
             if getattr(self, "_defl_aug", False):

@@ -121,26 +121,66 @@ class Continuation:
         dlam = float(self._S._border_coeffs[0])
         return np.array(dx), dlam
 
+    @staticmethod
+    def save_state(path: str, x, lam, xdot, ldot, step: int, ds: float):
+        """Write a restart checkpoint (atomic rename).  The role of the
+        reference rev-test continuation driver's 'Restart File' +
+        backup interval (testSuite/rev_tests/runtest.py:40-47)."""
+        import os
+        tmp = f"{path}.tmp"
+        np.savez(tmp, x=np.asarray(x), lam=float(lam),
+                 xdot=np.asarray(xdot), ldot=float(ldot),
+                 step=int(step), ds=float(ds))
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+    @staticmethod
+    def load_state(path: str) -> dict:
+        """Read a restart checkpoint written by `save_state`."""
+        with np.load(path) as z:
+            return {k: (z[k].item() if z[k].ndim == 0 else z[k].copy())
+                    for k in z.files}
+
     def trace(self, x0: np.ndarray, lam0: float, ds: float,
-              n_steps: int) -> List[ContinuationPoint]:
+              n_steps: int, restart_file: Optional[str] = None,
+              backup_interval: int = 0) -> List[ContinuationPoint]:
         """Trace the solution branch from (x0, lam0) with arclength
-        steps of size ds (x0 must satisfy F(x0, lam0) ~ 0)."""
-        x = np.asarray(x0, np.float64).copy()
-        lam = float(lam0)
-        branch = [ContinuationPoint(x=x.copy(), lam=lam, newton_iters=0)]
+        steps of size ds (x0 must satisfy F(x0, lam0) ~ 0).
 
-        # initial tangent: (dx/ds, dlam/ds) from J dx + F_lam dlam = 0
-        J = self.jacobian(x, lam)
-        Flam = np.asarray(self.dres_dlam(x, lam))
-        dx, _ = self._bordered_solve(J, Flam, np.zeros_like(x), 1.0,
-                                     np.zeros_like(x), 1.0)
-        xdot = dx
-        ldot = 1.0
-        nrm = np.sqrt(np.dot(xdot, xdot) + ldot * ldot)
-        xdot /= nrm
-        ldot /= nrm
+        With `restart_file` set, the tracer resumes from that
+        checkpoint when it exists (completing the remaining steps of
+        `n_steps`) and — when `backup_interval` > 0 — rewrites it every
+        `backup_interval` accepted steps, so an interrupted run
+        continues where it stopped (application-level restart as in
+        the reference rev-test harness)."""
+        import os
+        start_step = 0
+        if restart_file and os.path.exists(restart_file):
+            st = self.load_state(restart_file)
+            x = np.asarray(st["x"], np.float64).copy()
+            lam = float(st["lam"])
+            xdot = np.asarray(st["xdot"], np.float64).copy()
+            ldot = float(st["ldot"])
+            start_step = int(st["step"])
+            branch = [ContinuationPoint(x=x.copy(), lam=lam,
+                                        newton_iters=0)]
+        else:
+            x = np.asarray(x0, np.float64).copy()
+            lam = float(lam0)
+            branch = [ContinuationPoint(x=x.copy(), lam=lam,
+                                        newton_iters=0)]
 
-        for _step in range(n_steps):
+            # initial tangent: (dx/ds, dlam/ds) from J dx + F_lam dlam = 0
+            J = self.jacobian(x, lam)
+            Flam = np.asarray(self.dres_dlam(x, lam))
+            dx, _ = self._bordered_solve(J, Flam, np.zeros_like(x), 1.0,
+                                         np.zeros_like(x), 1.0)
+            xdot = dx
+            ldot = 1.0
+            nrm = np.sqrt(np.dot(xdot, xdot) + ldot * ldot)
+            xdot /= nrm
+            ldot /= nrm
+
+        for _step in range(start_step, n_steps):
             # predictor
             x_pred = x + ds * xdot
             lam_pred = lam + ds * ldot
@@ -168,4 +208,11 @@ class Continuation:
             x, lam = xi, lami
             branch.append(ContinuationPoint(x=x.copy(), lam=lam,
                                             newton_iters=it))
+            if restart_file and backup_interval > 0 and \
+                    (_step + 1) % backup_interval == 0:
+                self.save_state(restart_file, x, lam, xdot, ldot,
+                                _step + 1, ds)
+        if restart_file and backup_interval > 0:
+            self.save_state(restart_file, x, lam, xdot, ldot,
+                            n_steps, ds)
         return branch

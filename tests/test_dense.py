@@ -70,6 +70,7 @@ def test_mixed_inverse_early_exit_matches_full():
     assert np.max(np.abs(X - Xref)) < 1e-12
 
 
+@pytest.mark.slow   # two full L=2 Stokes solve compiles (~100 s, 1 core)
 def test_multilevel_f64_through_mixed_path():
     """Full multilevel f64 solve (Stokes-C 32^2, L=2 — the stokes2-class
     shape) with every batched/dense inverse forced through the

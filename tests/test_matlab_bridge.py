@@ -70,6 +70,8 @@ def bridge():
         proc.wait(timeout=30)
 
 
+@pytest.mark.slow   # spawns a fresh-process bridge server (own XLA
+#                     compiles, ~47 s on the 1-core CI host)
 def test_bridge_init_apply_free(bridge):
     cli, K, proc = bridge
     resp = cli.rpc({"cmd": "init", "matrix": "A.mtx",

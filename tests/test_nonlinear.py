@@ -73,3 +73,35 @@ def test_continuation_through_fold():
     assert umax[-1] > umax[lams.index(max(lams))]
     # every corrector converged
     assert all(p.newton_iters < 12 for p in branch)
+
+
+def test_continuation_restart(tmp_path):
+    """Checkpoint/resume: an interrupted trace continued from its
+    restart file must land on the same branch points as an
+    uninterrupted run (the reference rev-test harness restart-file
+    role, testSuite/rev_tests/runtest.py:40-47)."""
+    nx = 8
+    residual, jacobian, dlam = _bratu(nx)
+    ns = NewtonSolver(lambda x: residual(x, 0.5),
+                      lambda x: jacobian(x, 0.5), _params(nx))
+    start = ns.solve(np.zeros(nx * nx))
+    assert start.converged
+
+    full = Continuation(residual, jacobian, dlam, _params(nx)).trace(
+        start.x, 0.5, ds=1.0, n_steps=6)
+
+    ckpt = str(tmp_path / "restart.npz")
+    c1 = Continuation(residual, jacobian, dlam, _params(nx))
+    c1.trace(start.x, 0.5, ds=1.0, n_steps=3,
+             restart_file=ckpt, backup_interval=1)
+    st = Continuation.load_state(ckpt)
+    assert st["step"] == 3
+
+    c2 = Continuation(residual, jacobian, dlam, _params(nx))
+    resumed = c2.trace(start.x, 0.5, ds=1.0, n_steps=6,
+                       restart_file=ckpt, backup_interval=2)
+    # resumed branch continues from step 3 and reaches the same end
+    # point as the uninterrupted run (same predictor/corrector path)
+    assert abs(resumed[-1].lam - full[-1].lam) < 1e-8
+    assert np.linalg.norm(resumed[-1].x - full[-1].x) < 1e-7
+    assert Continuation.load_state(ckpt)["step"] == 6

@@ -44,6 +44,9 @@ def test_reference_cavity(size, re, nx):
     assert relres < 1e-10
 
 
+@pytest.mark.slow          # 16^3 structured compile dominates (~600 s
+#                            on the 1-core CI host); the 2D cavity
+#                            cases above keep the dataset path fast
 @pytest.mark.skipif(not os.path.isdir(DATA), reason="reference data absent")
 def test_reference_cavity3d():
     """cavity3D role (BASELINE.json configs): the 16^3 dataset on the

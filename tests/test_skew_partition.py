@@ -195,6 +195,7 @@ def test_skew_stokes_group_structure(nx, ny, sx):
             assert total == osx * osy * 2 * 3 + (osx + osx + 1) + (osx + osx)
 
 
+@pytest.mark.slow   # two full 64^2 skew solves (~38 s on 1 core)
 def test_retain_nodes_improves_convergence():
     """stokes6-style: retaining extra nodes per separator at coarser
     levels improves multilevel convergence (reference 'Retain Nodes at

@@ -92,10 +92,20 @@ SKEW_CASES = [
     ("Laplace", {"nx": 16, "ny": 16}, {"Number of Levels": 1}),
     ("Laplace", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
     ("Stokes-C", {"nx": 16, "ny": 16}, {"Number of Levels": 1}),
-    ("Stokes-C", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
-    ("Stokes-C", {"nx": 64, "ny": 64}, {"Number of Levels": 3}),
     ("Darcy", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
 ]
+# the deeper multilevel Stokes skew cases compile ~30 s each on the
+# 1-core CI host; structurally covered by the fast members above
+SKEW_CASES_SLOW = [
+    ("Stokes-C", {"nx": 32, "ny": 32}, {"Number of Levels": 2}),
+    ("Stokes-C", {"nx": 64, "ny": 64}, {"Number of Levels": 3}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("eq,prob,prec", SKEW_CASES_SLOW)
+def test_skew_structured_matches_generic_slow(eq, prob, prec):
+    test_skew_structured_matches_generic(eq, prob, prec)
 
 
 @pytest.mark.parametrize("eq,prob,prec", SKEW_CASES)
@@ -120,10 +130,18 @@ def test_skew_structured_matches_generic(eq, prob, prec):
 
 SKEW_CASES_3D = [
     ("Laplace", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
-    ("Stokes-C", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
     # 16^3 2-level skew Stokes also passes (2.5e-14) but its CPU
     # compile dominates suite wall-clock; exercised by the TPU benches
 ]
+SKEW_CASES_3D_SLOW = [
+    ("Stokes-C", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("eq,prob,prec", SKEW_CASES_3D_SLOW)
+def test_skew_3d_structured_matches_generic_slow(eq, prob, prec):
+    test_skew_3d_structured_matches_generic(eq, prob, prec)
 
 
 @pytest.mark.parametrize("eq,prob,prec", SKEW_CASES_3D)
@@ -144,7 +162,14 @@ def test_skew_3d_structured_matches_generic(eq, prob, prec):
     assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
 
 
-CONFIG_CASES = ["stokes_L2", "stokes_L3", "stokes_THCM3", "stokes_THCM4"]
+CONFIG_CASES = ["stokes_L2"]
+CONFIG_CASES_SLOW = ["stokes_L3", "stokes_THCM3", "stokes_THCM4"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cfg", CONFIG_CASES_SLOW)
+def test_config_structured_matches_generic_slow(cfg):
+    test_config_structured_matches_generic(cfg)
 
 
 @pytest.mark.parametrize("cfg", CONFIG_CASES)

@@ -23,14 +23,17 @@ def _run(name):
     return rep
 
 
+# fast = one representative per family; deeper L/THCM refinements move
+# to slow (the 1-core CI host pays 30-60 s of XLA compile each; the
+# family's group rules are already covered by the fast member)
 FAST = ["stokes3", "stokes4", "stokes5", "stokes4_3D",
-        "stokes_L", "stokes_L2", "stokes_L3", "stokes_L4",
-        "stokes_THCM", "stokes_THCM3", "stokes_THCM4",
+        "stokes_L", "stokes_L2", "stokes_THCM",
         "laplace1_deflation", "deflation1_bordering",
         "laplace1_eigs", "laplace1_eigs_deflation", "laplace_eigs",
         "neumann"]
 SLOW = ["stokes0", "stokes0_3D", "stokes1_3D", "stokes2_3D",
-        "stokes6", "bordering2", "laplace2_eigs", "turing",
+        "stokes6", "stokes_L3", "stokes_L4", "stokes_THCM3",
+        "stokes_THCM4", "bordering2", "laplace2_eigs", "turing",
         "cavity3D_eigs", "darcy", "convdiff"]
 
 

@@ -29,7 +29,7 @@ def dia_matvec_sharded(op: DiaOperator, mesh: Mesh, axis: str = "sd"):
     bands: (k, n) prepared band array (op.prepare(vals)), sharded on
     the second axis; x: (n,) sharded.  Halo width = max |offset|; must
     be <= the local shard length."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = op.n
     ndev = mesh.shape[axis]

@@ -39,9 +39,18 @@ measure the tunnel, not the TPU.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _progress(msg):
+    """Timestamped progress on stderr (the JSON contract is stdout)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -85,7 +94,8 @@ def _splu_baseline(K, b, reps=3):
     return secs, relres
 
 
-def _stokes_params(nx, dim, levels, partitioner, sx=4):
+def _stokes_params(nx, dim, levels, partitioner, sx=4,
+                   maxiter=TARGET_ITERS, tol=TOL):
     from hymls_tpu.config import Params
     prob = {"Equations": "Stokes-C", "Dimension": dim, "nx": nx, "ny": nx}
     if dim == 3:
@@ -95,15 +105,16 @@ def _stokes_params(nx, dim, levels, partitioner, sx=4):
         "Solver": {"Krylov Method": "GMRES",
                    "Left or Right Preconditioning": "Right",
                    "Initial Vector": "Zero",
-                   "Iterative Solver": {"Maximum Iterations": TARGET_ITERS,
-                                        "Convergence Tolerance": TOL}},
+                   "Iterative Solver": {"Maximum Iterations": maxiter,
+                                        "Convergence Tolerance": tol}},
         "Preconditioner": {"Partitioner": partitioner,
                            "Separator Length": sx,
                            "Number of Levels": levels},
     })
 
 
-def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS):
+def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
+                  relres_ok=1e-11):
     """Time REPS fused Newton steps (f32 refactor + repack + IR solve,
     one dispatch each) and the CPU splu baseline on the same matrix."""
     from hymls_tpu.stencils import create_testvector
@@ -112,16 +123,20 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS):
 
     tv = create_testvector(params, K)
     S = IterativeRefinementSolver(K, params, testvector=tv)
+    _progress(f"  setup n={K.shape[0]}: compute() ...")
     S.compute()
+    _progress("  compute() done; f64 iteration-parity solve ...")
 
     # iteration parity vs the reference target: a mixed f64-GMRES solve
     # has the same count as the all-f64 method
     S64 = Solver(K, S.precond, params, dtype=jnp.float64)
     _, res64 = S64.apply_inverse(b)
     niter = int(res64.iters)
+    _progress(f"  f64 parity solve done ({niter} iters); IR warm-up ...")
 
     x = S.solve(b)                       # warm-up: compile + first solve
     jax.block_until_ready(x)
+    _progress("  IR warm-up done; newton_step compile ...")
 
     vals64 = S.op64.vals
     vals32 = S.solver.op.vals
@@ -129,6 +144,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS):
     newton, dplans, extra, aplans = S.newton_step_fn()
     r = newton(vals64, vals32, dplans, extra, aplans, bj)   # compile
     jax.block_until_ready(r.x)
+    _progress(f"  newton_step compiled; timing {reps} reps ...")
 
     t0 = time.perf_counter()
     last = None
@@ -146,7 +162,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS):
     relres = float(np.linalg.norm(Kp @ xh - b) / np.linalg.norm(b))
 
     base_secs, base_relres = _splu_baseline(K, b)
-    ok = relres <= 1e-11 and niter <= target_iters
+    ok = relres <= relres_ok and niter <= target_iters
     return {
         "value": round(elapsed, 5),
         "unit": "seconds/factor+solve",
@@ -197,18 +213,31 @@ def _bench_apply_modes(params, K, b, reps=50):
 
 def main():
     t_all = time.time()
+    # secondary cases are skipped once the elapsed wall-clock passes
+    # this budget so the headline JSON line is ALWAYS printed well
+    # inside the driver's timeout (cold TPU compiles through the remote
+    # tunnel can take minutes per program)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
     device = str(jax.devices()[0])
+    _progress(f"device {device}; budget {budget:.0f}s")
     cases = {}
+
+    def over_budget():
+        return time.time() - t_all > budget
 
     # --- headline: cavity 64^2 Re1000, L=1 structured -------------------
     K, b, source = _cavity64()
     params = _stokes_params(64, 2, 1, "Cartesian")
+    _progress("case cavity64_Re1000 ...")
     head = _bench_newton(params, K, b, reps=10)
     head["source"] = source
     cases["cavity64_Re1000"] = head
 
     # --- stokes 128^2 multilevel (L=2) ----------------------------------
     try:
+        if over_budget():
+            raise TimeoutError("bench budget exhausted")
+        _progress("case stokes128_L2 ...")
         from hymls_tpu.stencils import create_matrix
         p128 = _stokes_params(128, 2, 2, "Cartesian")
         K128 = create_matrix(p128)
@@ -220,17 +249,28 @@ def main():
 
     # --- stokes 32^3 skew L=2 -------------------------------------------
     try:
+        if over_budget():
+            raise TimeoutError("bench budget exhausted")
+        _progress("case stokes32cube_skew_L2 ...")
         from hymls_tpu.stencils import create_matrix
-        p3d = _stokes_params(32, 3, 2, "Skew Cartesian")
+        # 3D convergence targets follow the reference's own 3D cases,
+        # which are far looser than the 2D ones (stokes1_3D.xml: 130
+        # iters at 1.5e-5 on a 16^3 grid): tol 1e-8, cap 500
+        p3d = _stokes_params(32, 3, 2, "Skew Cartesian",
+                             maxiter=500, tol=1e-8)
         K3d = create_matrix(p3d)
         rng = np.random.default_rng(2)
         b3d = K3d @ rng.standard_normal(K3d.shape[0])
-        cases["stokes32cube_skew_L2"] = _bench_newton(p3d, K3d, b3d, reps=3)
+        cases["stokes32cube_skew_L2"] = _bench_newton(
+            p3d, K3d, b3d, reps=3, target_iters=500, relres_ok=1e-7)
     except Exception as e:          # pragma: no cover - bench resilience
         cases["stokes32cube_skew_L2"] = {"error": repr(e)}
 
     # --- structured vs generic apply ------------------------------------
     try:
+        if over_budget():
+            raise TimeoutError("bench budget exhausted")
+        _progress("case structured_vs_generic_apply ...")
         cases["structured_vs_generic_apply"] = \
             _bench_apply_modes(params, K, b)
     except Exception as e:          # pragma: no cover - bench resilience
@@ -241,6 +281,9 @@ def main():
     # gather path (no structured fast path by design — different math);
     # this records its own wall-clock story (VERDICT round-1 weak 8)
     try:
+        if over_budget():
+            raise TimeoutError("bench budget exhausted")
+        _progress("case stokesB_32 ...")
         from hymls_tpu.config import load_xml
         pb = load_xml(os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "configs", "stokes_B.xml"))

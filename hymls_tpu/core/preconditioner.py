@@ -131,15 +131,22 @@ def _plan_index_dtype(plan, fields) -> "jnp.dtype":
 
 def _device_level(plan: LevelPlan, dtype,
                   idx_dtype=None) -> Dict[str, jnp.ndarray]:
+    # dtype conversion happens in NUMPY before the device transfer:
+    # jnp.asarray(x, dtype=...) on a mismatched-dtype host array
+    # compiles one convert_element_type XLA program PER SHAPE — ~70 s
+    # of setup compiles on a 16^3 skew problem whose plan arrays span
+    # dozens of shapes (measured; host-side np.astype is memcpy-speed)
     if idx_dtype is None:
         idx_dtype = _plan_index_dtype(plan, _LEVEL_FIELDS_I32)
+    np_idx = np.dtype(idx_dtype)
+    np_f = np.dtype(dtype)
     d: Dict[str, jnp.ndarray] = {}
     for f in _LEVEL_FIELDS_I32:
-        d[f] = jnp.asarray(getattr(plan, f), dtype=idx_dtype)
+        d[f] = jnp.asarray(np.asarray(getattr(plan, f), dtype=np_idx))
     for f in _LEVEL_FIELDS_BOOL:
         d[f] = jnp.asarray(getattr(plan, f))
     for f in _LEVEL_FIELDS_F:
-        d[f] = jnp.asarray(getattr(plan, f), dtype=dtype)
+        d[f] = jnp.asarray(np.asarray(getattr(plan, f), dtype=np_f))
     return d
 
 
@@ -571,22 +578,21 @@ class Preconditioner:
             self._structured_reason = "disabled by parameter"
             return
         from .structured import build_structured_program
-        prog = build_structured_program(self)
-        if prog is None:
-            return
         if mode == "Auto":
             # TPU budget 3e7 elements: the folded A21/G tensors are
             # NCH x NCH_child (larger than NCH^2) and XLA materializes
             # ~8x-sized einsum temps in the apply loop — 32^3 skew L=2
             # (est 2.1e8) wants >22 GB HBM and OOMs, while 128^2 L=2
-            # (est 3.4e6) is fine
+            # (est 3.4e6) is fine.  The budget is enforced INSIDE the
+            # builder, between detection and the (expensive) constant
+            # construction — building first and discarding costs
+            # minutes of host time on large skew-3D problems.
             budget = 5e7 if jax.default_backend() == "cpu" else 3e7
-            est = sum(L.nK * L.nJ * L.nI * L.NCH * L.NCH
-                      for L in prog.levels)
-            if est > budget:
-                self._structured_reason = (
-                    f"auto: factor tensors too large ({est:.2g} el)")
-                return
+        else:
+            budget = None
+        prog = build_structured_program(self, max_elements=budget)
+        if prog is None:
+            return
         self._structured = prog
 
         if self._bgrid_T is not None:

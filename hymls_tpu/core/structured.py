@@ -476,18 +476,32 @@ def _detect_level(plan, hier, coords, dims, periodic, ni_pad, ns_pad,
     return lev, vmap
 
 
-def build_structured_program(precond) -> Optional["StructuredProgram"]:
+def build_structured_program(precond, max_elements=None
+                             ) -> Optional["StructuredProgram"]:
     """Detect Cartesian structure in a Preconditioner's plans.  Returns
     None (with .reason set on the precond) if the generic path must be
-    kept."""
+    kept.  `max_elements` (Auto mode) bounds the total folded-factor
+    tensor size: the check runs after the cheap structure DETECTION but
+    before the expensive constant/one-hot construction — building the
+    program first and discarding it costs minutes of host time and
+    device transfers on large skew-3D problems."""
     try:
-        return _build_impl(precond)
+        return _build_impl(precond, max_elements)
     except _Fallback as e:
         precond._structured_reason = str(e)
         return None
 
 
-def _build_skew(precond, parts):
+def _finalize_program(levels, coarse, dtype, max_elements):
+    if max_elements is not None:
+        est = sum(L.nK * L.nJ * L.nI * L.NCH * L.NCH for L in levels)
+        if est > max_elements:
+            raise _Fallback(
+                f"auto: factor tensors too large ({est:.2g} el)")
+    return StructuredProgram(levels, coarse, dtype)
+
+
+def _build_skew(precond, parts, max_elements=None):
     """Structured program for the Skew-Cartesian (diamond) partitioner.
 
     Diamond centers form a SQUARE lattice in the rotated coordinates
@@ -639,10 +653,11 @@ def _build_skew(precond, parts):
         src[p] = flat
         back[flat] = p
     coarse = SCoarse(n=n_c, src=src, back=back)
-    return StructuredProgram(levels, coarse, precond.dtype)
+    return _finalize_program(levels, coarse, precond.dtype,
+                             max_elements)
 
 
-def _build_impl(precond):
+def _build_impl(precond, max_elements=None):
     from ..grid import X_PERIO, Y_PERIO, Z_PERIO
 
     g = precond.grid
@@ -661,7 +676,7 @@ def _build_impl(precond):
     if parts is None or len(parts) != precond.max_level:
         raise _Fallback("level partition params unavailable")
     if precond.partitioner_type == "Skew Cartesian":
-        return _build_skew(precond, parts)
+        return _build_skew(precond, parts, max_elements)
 
     periodic = (bool(g.perio & Z_PERIO), bool(g.perio & Y_PERIO),
                 bool(g.perio & X_PERIO))
@@ -785,7 +800,8 @@ def _build_impl(precond):
         src[p] = flat
         back[flat] = p
     coarse = SCoarse(n=n_c, src=src, back=back)
-    return StructuredProgram(levels, coarse, precond.dtype)
+    return _finalize_program(levels, coarse, precond.dtype,
+                             max_elements)
 
 
 # ---------------------------------------------------------------------------
@@ -803,6 +819,13 @@ class StructuredProgram:
         self.levels = levels
         self.coarse = coarse
         self.dtype = dtype
+
+        # dtype conversion in NUMPY before device transfer:
+        # jnp.asarray(x, dtype) with a host-side dtype mismatch
+        # compiles one convert_element_type program per shape — the
+        # consts here span dozens of shapes (see _device_level)
+        def dev(a, dt=dtype):
+            return jnp.asarray(np.asarray(a, dtype=np.dtype(dt)))
         self._const = []
         # static (per level) distinct contributor offsets; the fold
         # matrices indexed alongside them live in consts
@@ -853,33 +876,33 @@ class StructuredProgram:
                     Wt = L.templates[t].width
                     Xc[np.arange(sbase[t] + 1, sbase[t] + Wt),
                        np.arange(starts[r], starts[r] + Wt - 1)] = 1.0
-                X.append(jnp.asarray(Xc, dtype))
+                X.append(dev(Xc))
 
             entry = {}
             if L.mode == "perm":
-                entry["entry"] = jnp.asarray(L.entry, jnp.int32)
-                entry["sdmap"] = jnp.asarray(L.sd_of_box, jnp.int32)
+                entry["entry"] = dev(L.entry, jnp.int32)
+                entry["sdmap"] = dev(L.sd_of_box, jnp.int32)
                 if L.exit is not None:
-                    entry["exit"] = jnp.asarray(L.exit, jnp.int32)
+                    entry["exit"] = dev(L.exit, jnp.int32)
                 if L.up is not None:
-                    entry["up"] = jnp.asarray(L.up, jnp.int32)
+                    entry["up"] = dev(L.up, jnp.int32)
             self._const.append({
-                "class_mask": jnp.asarray(cm, dtype),
-                "sel": jnp.asarray(L.sel, dtype),
-                "pc": jnp.asarray(L.pc, dtype),
-                "emb": [jnp.asarray(e, dtype) for e in L.emb],
-                "E": jnp.asarray(E, dtype),
-                "S": jnp.asarray(S, dtype),
-                "V": jnp.asarray(V, dtype),
-                "wf": jnp.asarray(wf, dtype),
-                "svf": jnp.asarray(svf, dtype),
-                "offM": [jnp.asarray(offsets[o], dtype) for o in off_list],
+                "class_mask": dev(cm),
+                "sel": dev(L.sel),
+                "pc": dev(L.pc),
+                "emb": [dev(e) for e in L.emb],
+                "E": dev(E),
+                "S": dev(S),
+                "V": dev(V),
+                "wf": dev(wf),
+                "svf": dev(svf),
+                "offM": [dev(offsets[o]) for o in off_list],
                 "X": X,
                 **entry,
             })
         self._coarse_const = {
-            "src": jnp.asarray(coarse.src, jnp.int32),
-            "back": jnp.asarray(coarse.back, jnp.int32),
+            "src": dev(coarse.src, jnp.int32),
+            "back": dev(coarse.back, jnp.int32),
         }
         self.consts = {"levels": self._const, "coarse": self._coarse_const}
 

@@ -17,6 +17,10 @@ Architecture (TPU-first, not a port):
   * Multi-chip: the subdomain batch axis is shardable over a
     `jax.sharding.Mesh`; see hymls_tpu.parallel.
 """
+from .utils import malloc as _malloc
+
+_malloc.maybe_enable_from_env()
+
 import jax as _jax
 
 # The reference solver is entirely double precision and hits 1e-10

@@ -36,8 +36,9 @@ SMALL_ENTRY = 1e-14  # reference HYMLS_Macros.hpp:26-30
 
 class CsrLookup:
     """Batched (row, col) -> data-index lookup over a canonical CSR.
-    The composite key array is built once; queries are a single
-    searchsorted (the plan builder issues millions of them)."""
+    A native O(1) hash over the composite keys is built once (the plan
+    builder issues ~1e8 queries per level at 32^3-skew sizes); numpy
+    searchsorted over the sorted key array is the fallback."""
 
     def __init__(self, A: sp.csr_matrix):
         self.nnz = A.nnz
@@ -46,19 +47,33 @@ class CsrLookup:
         row_of = np.repeat(np.arange(A.shape[0], dtype=np.int64),
                            np.diff(A.indptr))
         self.keys = row_of * n + A.indices.astype(np.int64)
+        self._hash = _native.CsrHash.build(self.keys) \
+            if self.keys.size else None
 
     def query(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
         q = rows.astype(np.int64) * self._n + cols.astype(np.int64)
         if self.keys.size == 0:
             return np.full(q.shape, self.nnz, dtype=np.int64)
-        if q.size >= 16384:   # ctypes overhead dominates small calls
-            out = _native.lookup_sorted(self.keys, q, self.nnz)
-            if out is not None:
-                return out
+        if self._hash is not None and q.size >= 4096:
+            return self._hash.lookup(q, self.nnz)
         pos = np.searchsorted(self.keys, q)
         ok = (pos < self.keys.size) & \
             (self.keys[np.minimum(pos, self.keys.size - 1)] == q)
         return np.where(ok, pos, self.nnz).astype(np.int64)
+
+    def query_block(self, R: np.ndarray, C: np.ndarray,
+                    row_limit: Optional[int] = None,
+                    col_limit: Optional[int] = None) -> np.ndarray:
+        """Outer-product lookup: out[b, i, j] = entry id of
+        (R[b, i], C[b, j]).  The native path forms the composite keys
+        in-register — the (B, nr, nc) broadcast array (~1 GB at
+        32^3-skew plan sizes) is never materialized — and skips
+        probing for padded ids >= row_limit/col_limit."""
+        if self.keys.size and self._hash is not None \
+                and R.shape[0] * R.shape[1] * C.shape[1] >= 4096:
+            return self._hash.lookup_block(R, C, self._n, self.nnz,
+                                           row_limit, col_limit)
+        return self.query(R[:, :, None], C[:, None, :])
 
 
 def csr_entry_ids(A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray
@@ -258,7 +273,8 @@ def build_level_plan(level: int,
             np.full((n_sd, nr), fill, dtype=np.int64)
         C = _pad2(cols_list, nc, fill) if cols_list else \
             np.full((n_sd, nc), fill, dtype=np.int64)
-        return lookup.query(R[:, :, None], C[:, None, :])
+        return lookup.query_block(R, C, row_limit=pattern.shape[0],
+                                  col_limit=pattern.shape[1])
 
     sep_nlocs_arr = sep_nlocs_sd
     A11_idx = block_idx(int_locs, int_locs, ni, ni)

@@ -76,3 +76,40 @@ def test_native_planner_primitives():
     gids = keys[rng.integers(0, keys.size, 1000)]
     assert np.array_equal(locate_sorted(keys, gids),
                           np.searchsorted(keys, gids))
+
+
+def test_csr_hash_matches_searchsorted():
+    """The native CSR hash (plan-builder hot path) agrees with the
+    numpy searchsorted fallback, including padded out-of-range ids."""
+    from hymls_tpu.core.plan import CsrLookup
+    from hymls_tpu import native
+
+    rng = np.random.default_rng(3)
+    A = sp.random(2000, 2000, density=0.004, format="csr", random_state=7)
+    lu = CsrLookup(A)
+    if native.planner() is None:
+        pytest.skip("no C++ toolchain")
+    assert lu._hash is not None
+
+    fill = A.shape[0]
+    R = rng.integers(0, fill + 1, (30, 40))
+    C = rng.integers(0, fill + 1, (30, 24))
+    got = lu.query_block(R, C, row_limit=fill, col_limit=A.shape[1])
+
+    # numpy reference (the fallback branch of query)
+    q = R[:, :, None].astype(np.int64) * A.shape[1] + C[:, None, :]
+    pos = np.searchsorted(lu.keys, q)
+    ok = (pos < lu.keys.size) & \
+        (lu.keys[np.minimum(pos, lu.keys.size - 1)] == q)
+    ref = np.where(ok, pos, lu.nnz)
+    assert np.array_equal(got, ref)
+
+    # flat query path
+    rows = rng.integers(0, fill, 9000)
+    cols = rng.integers(0, fill, 9000)
+    got_flat = lu.query(rows, cols)
+    q = rows.astype(np.int64) * A.shape[1] + cols
+    pos = np.searchsorted(lu.keys, q)
+    ok = (pos < lu.keys.size) & \
+        (lu.keys[np.minimum(pos, lu.keys.size - 1)] == q)
+    assert np.array_equal(got_flat, np.where(ok, pos, lu.nnz))

@@ -56,13 +56,14 @@ def main():
     bench_jit = jax.jit(bench_fn)
     vals = jnp.asarray(K.data, dtype=dtype)
     bj = jnp.asarray(b, dtype=dtype)
+    from hymls_tpu.utils.timings import sync
     t0 = time.perf_counter()
     out, iters = bench_jit(vals, bj)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"# compile+first run: {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     out, iters = bench_jit(vals, bj)
-    jax.block_until_ready(out)
+    sync(out)
     elapsed = (time.perf_counter() - t0) / REPS
     print(json.dumps({"fused_per_rep_s": round(elapsed, 5),
                       "total_iters": int(iters)}))

@@ -55,6 +55,8 @@ def _progress(msg):
 import jax
 import jax.numpy as jnp
 
+from hymls_tpu.utils.timings import sync
+
 # persistent compilation cache: TPU AOT compiles are expensive through
 # the remote tunnel; cache them across runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
@@ -135,7 +137,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     _progress(f"  f64 parity solve done ({niter} iters); IR warm-up ...")
 
     x = S.solve(b)                       # warm-up: compile + first solve
-    jax.block_until_ready(x)
+    sync(x)
     _progress("  IR warm-up done; newton_step compile ...")
 
     vals64 = S.op64.vals
@@ -143,7 +145,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     bj = jnp.asarray(b, jnp.float64)
     newton, dplans, extra, aplans = S.newton_step_fn()
     r = newton(vals64, vals32, dplans, extra, aplans, bj)   # compile
-    jax.block_until_ready(r.x)
+    sync(r.x)
     _progress(f"  newton_step compiled; timing {reps} reps ...")
 
     t0 = time.perf_counter()
@@ -153,7 +155,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         r = newton(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
                    dplans, extra, aplans, bj)
         last = r.x
-    jax.block_until_ready(last)
+    sync(last)
     elapsed = (time.perf_counter() - t0) / reps
 
     xh = np.asarray(jax.device_get(last))
@@ -196,11 +198,11 @@ def _bench_apply_modes(params, K, b, reps=50):
         fn = P.apply_inverse
         r = jnp.asarray(b, jnp.float32)
         y = fn(r)
-        jax.block_until_ready(y)         # compile + warm
+        sync(y)                          # compile + warm
         t0 = time.perf_counter()
         for _ in range(reps):
             y = fn(y)                    # chain applies, no host sync
-        jax.block_until_ready(y)
+        sync(y)
         times[mode] = (time.perf_counter() - t0) / reps
     return {
         "value": round(times["structured"], 6),

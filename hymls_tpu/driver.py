@@ -149,6 +149,11 @@ def run_case(params: Params, dtype=None) -> RunReport:
             S.set_matrix(Kc)
             if params.sublist("Solver").get("Use Deflation", False):
                 S.setup_deflation()
+            # true completion fence: on remote backends
+            # block_until_ready resolves at enqueue, which would let
+            # the factorization leak into the 'solve' timer
+            from .utils.timings import sync
+            sync(P.factors)
 
         for s in range(num_solves):
             if not read_problem or b0 is None:

@@ -18,6 +18,7 @@ from hymls_tpu.config import Params
 from hymls_tpu.utils.io import read_linear_system
 from hymls_tpu.stencils import create_testvector
 from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+from hymls_tpu.utils.timings import sync
 
 size, re = (sys.argv[1], sys.argv[2]) if len(sys.argv) > 2 else ("64x64", "Re1000")
 dims = [int(v) for v in size.split("x")]
@@ -44,17 +45,17 @@ t_sym = time.perf_counter() - t0    # symbolic (host, once per structure)
 
 t0 = time.perf_counter()
 S.compute()
-jax.block_until_ready(S.precond.factors["coarse"]["inv"])
+sync(S.precond.factors["coarse"]["inv"])
 t_fac_cold = time.perf_counter() - t0
 
-x = S.solve(b); jax.block_until_ready(x)   # compile+first solve
+x = S.solve(b); sync(x)   # compile+first solve
 
 # warm re-factorization + solve (the per-Newton-step cost)
 t0 = time.perf_counter()
 S.precond._factors = None
 S.compute()
 x = S.solve(b)
-jax.block_until_ready(x)
+sync(x)
 t_warm = time.perf_counter() - t0
 
 xh = np.asarray(jax.device_get(x))

@@ -63,16 +63,17 @@ def run_case(nx: int, re: float):
     b = K @ x_ex
 
     P.compute()
+    from hymls_tpu.utils.timings import sync
     x, _ = S.apply_inverse(b)           # warm-up/compile
-    jax.block_until_ready(x)
+    sync(x)
 
     t0 = time.perf_counter()
     P.compute()
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), P.factors)
+    sync(P.factors)
     t_compute = time.perf_counter() - t0
     t0 = time.perf_counter()
     x, res = S.apply_inverse(b)
-    jax.block_until_ready(x)
+    sync(x)
     t_solve = time.perf_counter() - t0
 
     relres = float(np.linalg.norm(K @ np.asarray(x) - b)

@@ -32,13 +32,23 @@ Each case runs the TPU-native production path: f32 factorization +
 Krylov inside an f64 iterative-refinement loop, fused into a single
 XLA program per Newton step (factor + repack + solve, one dispatch).
 
-Measurement note: REPS factorization+solve pairs are dispatched
-asynchronously and the device is synced once — per-call device->host
-round trips through remote-TPU tunnels would otherwise dominate and
-measure the tunnel, not the TPU.
+Measurement notes:
+  * The primary `value` is DEVICE time per Newton step, measured by
+    fusing the steps into one XLA program (`lax.fori_loop` over the
+    step) and delta-timing niter=1 vs niter=REPS+1 — each program
+    launch through the remote-TPU tunnel costs ~20-30 ms of fixed
+    overhead (an environment artifact, not framework cost), which
+    the delta cancels.  The per-dispatch wall-clock (REPS async
+    launches, one sync) is reported as extra.per_dispatch_s.
+  * All fences go through hymls_tpu.utils.timings.sync();
+    block_until_ready resolves at enqueue on this backend.
+  * Every case runs in its OWN SUBPROCESS: a TPU worker crash in one
+    case (observed once on the 32^3 f64 full-basis solve) must not
+    poison the remaining cases.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -146,8 +156,31 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     newton, dplans, extra, aplans = S.newton_step_fn()
     r = newton(vals64, vals32, dplans, extra, aplans, bj)   # compile
     sync(r.x)
-    _progress(f"  newton_step compiled; timing {reps} reps ...")
+    _progress(f"  newton_step compiled; timing {reps} fused reps ...")
 
+    # primary: device time per step — fori_loop over the step, delta
+    # timed so the fixed per-launch tunnel overhead cancels
+    from jax import lax
+
+    def fused_steps(niter):
+        def fbody(i, acc):
+            s64 = 1.0 + 1e-6 * i.astype(jnp.float64)
+            rr = newton(vals64 * s64, vals32 * s64.astype(jnp.float32),
+                        dplans, extra, aplans, bj)
+            return acc + rr.x
+        return lax.fori_loop(0, niter, fbody, jnp.zeros_like(bj))
+
+    fjit = jax.jit(fused_steps)
+    sync(fjit(1))                                     # compile
+    t = {}
+    for nit in (1, reps + 1):
+        t0 = time.perf_counter()
+        sync(fjit(nit))
+        t[nit] = time.perf_counter() - t0
+    elapsed = max((t[reps + 1] - t[1]) / reps, 1e-9)
+    _progress(f"  fused: {elapsed:.4f} s/step; dispatch timing ...")
+
+    # secondary: per-dispatch wall-clock (includes tunnel launches)
     t0 = time.perf_counter()
     last = None
     for i in range(reps):
@@ -156,7 +189,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
                    dplans, extra, aplans, bj)
         last = r.x
     sync(last)
-    elapsed = (time.perf_counter() - t0) / reps
+    per_dispatch = (time.perf_counter() - t0) / reps
 
     xh = np.asarray(jax.device_get(last))
     Kp = K.copy()
@@ -173,6 +206,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "baseline": {"method": "scipy SuperLU factor+solve (serial CPU)",
                      "seconds": round(base_secs, 5),
                      "relres": base_relres},
+        "per_dispatch_s": round(per_dispatch, 5),
         "iters_f64": niter,
         "target_iters": target_iters,
         "ir_inner_iters": int(jax.device_get(r.iters)),
@@ -213,104 +247,128 @@ def _bench_apply_modes(params, K, b, reps=50):
     }
 
 
-def main():
-    t_all = time.time()
-    # secondary cases are skipped once the elapsed wall-clock passes
-    # this budget so the headline JSON line is ALWAYS printed well
-    # inside the driver's timeout (cold TPU compiles through the remote
-    # tunnel can take minutes per program)
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
-    device = str(jax.devices()[0])
-    _progress(f"device {device}; budget {budget:.0f}s")
-    cases = {}
+def _run_case(name):
+    """Run ONE case in this process; returns its result dict."""
+    if name == "cavity64_Re1000":
+        K, b, source = _cavity64()
+        params = _stokes_params(64, 2, 1, "Cartesian")
+        head = _bench_newton(params, K, b, reps=10)
+        head["source"] = source
+        return head
 
-    def over_budget():
-        return time.time() - t_all > budget
-
-    # --- headline: cavity 64^2 Re1000, L=1 structured -------------------
-    K, b, source = _cavity64()
-    params = _stokes_params(64, 2, 1, "Cartesian")
-    _progress("case cavity64_Re1000 ...")
-    head = _bench_newton(params, K, b, reps=10)
-    head["source"] = source
-    cases["cavity64_Re1000"] = head
-
-    # --- stokes 128^2 multilevel (L=2) ----------------------------------
-    try:
-        if over_budget():
-            raise TimeoutError("bench budget exhausted")
-        _progress("case stokes128_L2 ...")
+    if name == "stokes128_L2":
         from hymls_tpu.stencils import create_matrix
         p128 = _stokes_params(128, 2, 2, "Cartesian")
         K128 = create_matrix(p128)
         rng = np.random.default_rng(1)
         b128 = K128 @ rng.standard_normal(K128.shape[0])
-        cases["stokes128_L2"] = _bench_newton(p128, K128, b128, reps=5)
-    except Exception as e:          # pragma: no cover - bench resilience
-        cases["stokes128_L2"] = {"error": repr(e)}
+        return _bench_newton(p128, K128, b128, reps=5)
 
-    # --- stokes 32^3 skew L=2 -------------------------------------------
-    try:
-        if over_budget():
-            raise TimeoutError("bench budget exhausted")
-        _progress("case stokes32cube_skew_L2 ...")
+    if name == "stokes32cube_skew_L2":
         from hymls_tpu.stencils import create_matrix
         # 3D convergence targets follow the reference's own 3D cases,
         # which are far looser than the 2D ones (stokes1_3D.xml: 130
-        # iters at 1.5e-5 on a 16^3 grid): tol 1e-8, cap 500
+        # iters at 1.5e-5 on a 16^3 grid): tol 1e-8, cap 500.
+        # Num Blocks 120 keeps the f64 parity solve on a restarted
+        # basis: the full 500-vector f64 basis at n=131k crashed the
+        # TPU worker once ("kernel fault") on this runtime
         p3d = _stokes_params(32, 3, 2, "Skew Cartesian",
                              maxiter=500, tol=1e-8)
+        p3d.sublist("Solver").sublist("Iterative Solver")[
+            "Num Blocks"] = 120
         K3d = create_matrix(p3d)
         rng = np.random.default_rng(2)
         b3d = K3d @ rng.standard_normal(K3d.shape[0])
-        cases["stokes32cube_skew_L2"] = _bench_newton(
-            p3d, K3d, b3d, reps=3, target_iters=500, relres_ok=1e-7)
-    except Exception as e:          # pragma: no cover - bench resilience
-        cases["stokes32cube_skew_L2"] = {"error": repr(e)}
+        return _bench_newton(p3d, K3d, b3d, reps=3,
+                             target_iters=500, relres_ok=1e-7)
 
-    # --- structured vs generic apply ------------------------------------
-    try:
-        if over_budget():
-            raise TimeoutError("bench budget exhausted")
-        _progress("case structured_vs_generic_apply ...")
-        cases["structured_vs_generic_apply"] = \
-            _bench_apply_modes(params, K, b)
-    except Exception as e:          # pragma: no cover - bench resilience
-        cases["structured_vs_generic_apply"] = {"error": repr(e)}
+    if name == "structured_vs_generic_apply":
+        K, b, _source = _cavity64()
+        params = _stokes_params(64, 2, 1, "Cartesian")
+        return _bench_apply_modes(params, K, b)
 
-    # --- stokes_B 32^2 (B-grid transform, generic apply path) -----------
-    # the B-grid flagship runs Apply Dropping=false through the generic
-    # gather path (no structured fast path by design — different math);
-    # this records its own wall-clock story (VERDICT round-1 weak 8)
-    try:
-        if over_budget():
-            raise TimeoutError("bench budget exhausted")
-        _progress("case stokesB_32 ...")
+    if name == "stokesB_32":
+        # the B-grid flagship runs Apply Dropping=false through the
+        # generic gather path (no structured fast path by design —
+        # different math); this records its own wall-clock story
         from hymls_tpu.config import load_xml
+        from hymls_tpu.stencils import create_matrix
         pb = load_xml(os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "configs", "stokes_B.xml"))
         pb.sublist("Solver").sublist("Iterative Solver")[
             "Maximum Iterations"] = TARGET_ITERS
         pb.sublist("Solver").sublist("Iterative Solver")[
             "Convergence Tolerance"] = TOL
-        from hymls_tpu.stencils import create_matrix
         Kb = create_matrix(pb)
         rngb = np.random.default_rng(3)
         bb = Kb @ rngb.standard_normal(Kb.shape[0])
-        cases["stokesB_32"] = _bench_newton(pb, Kb, bb, reps=5)
-    except Exception as e:          # pragma: no cover - bench resilience
-        cases["stokesB_32"] = {"error": repr(e)}
+        return _bench_newton(pb, Kb, bb, reps=5)
 
+    raise ValueError(f"unknown case {name!r}")
+
+
+CASE_ORDER = ["cavity64_Re1000", "stokes128_L2", "stokes32cube_skew_L2",
+              "structured_vs_generic_apply", "stokesB_32"]
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--case":
+        # child mode: one case, one JSON line on stdout
+        name = sys.argv[2]
+        _progress(f"case {name} ...")
+        print(json.dumps(_run_case(name)))
+        return
+
+    t_all = time.time()
+    # later cases are skipped once the elapsed wall-clock passes this
+    # budget so the headline JSON line is ALWAYS printed well inside
+    # the driver's timeout (cold TPU compiles through the remote
+    # tunnel can take minutes per program)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    device = str(jax.devices()[0])
+    _progress(f"device {device}; budget {budget:.0f}s")
+    cases = {}
+    here = os.path.abspath(__file__)
+
+    for name in CASE_ORDER:
+        remaining = budget - (time.time() - t_all)
+        if cases and remaining < 60:
+            cases[name] = {"error": "bench budget exhausted"}
+            continue
+        # each case in its own subprocess: a TPU worker crash must not
+        # poison the remaining cases (observed once: 32^3 f64
+        # full-basis solve "kernel fault")
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--case", name],
+                stdout=subprocess.PIPE, stderr=None,
+                timeout=max(remaining, 120) + 60)
+            lines = [l for l in proc.stdout.decode().splitlines()
+                     if l.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                cases[name] = {"error":
+                               f"case subprocess rc={proc.returncode}"}
+            else:
+                cases[name] = json.loads(lines[-1])
+        except subprocess.TimeoutExpired:
+            cases[name] = {"error": "case subprocess timeout"}
+        except Exception as e:      # pragma: no cover - bench resilience
+            cases[name] = {"error": repr(e)}
+
+    head = cases.get("cavity64_Re1000", {})
     result = {
         "metric": "cavity64_Re1000_factor_plus_solve",
-        "value": head["value"],
+        "value": head.get("value", -1.0),
         "unit": "seconds",
-        "vs_baseline": head["vs_baseline"],
+        "vs_baseline": head.get("vs_baseline", 0.0),
         "extra": {
             "vs_baseline_semantics":
                 "baseline_seconds / our_seconds (>1 = faster than the "
                 "live-measured serial-CPU SuperLU direct factor+solve "
-                "of the same system on this host)",
+                "of the same system on this host); value = device "
+                "seconds per fused Newton step (factor+repack+solve), "
+                "extra.cases[*].per_dispatch_s = wall-clock including "
+                "the remote-tunnel launch overhead",
             "device": device,
             "path": "structured f32 factor + fused f32-Krylov/f64-IR",
             "bench_wall_s": None,       # filled below

@@ -35,6 +35,22 @@ def test_function_tracing_prints(monkeypatch, capsys):
     assert ">> traced-fn" in err and "<< traced-fn" in err
 
 
+def test_sync_fences_pytrees():
+    """sync() must traverse arbitrary pytrees, skip non-arrays and
+    empty buffers, and return its argument (the true completion fence
+    for every wall-clock measurement — see ARCHITECTURE.md
+    'Measurement discipline')."""
+    import jax.numpy as jnp
+
+    tree = {"a": jnp.ones((3, 2)),
+            "b": [jnp.zeros(4), None, 7, "s"],
+            "empty": jnp.zeros((0,))}
+    assert timings.sync(tree) is tree
+    x = jnp.arange(5.0)
+    assert timings.sync(x) is x
+    assert timings.sync(None) is None
+
+
 def test_host_memory_ledger():
     timings.start_memory("phase-x")
     blob = bytearray(8 << 20)          # ~8 MB

@@ -451,9 +451,28 @@ class Preconditioner:
 
     def __init__(self, K: sp.csr_matrix, params: Params,
                  testvector: Optional[np.ndarray] = None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, factor_dtype=None):
         self.params = params
         self.dtype = dtype
+        # Factor (assembly) precision may exceed the apply precision:
+        # the multilevel Schur assembly A22 - A21 A11^-1 A12 cancels
+        # catastrophically in f32 (measured on skew 32^3 Stokes L=2:
+        # f32-assembled coarse values alone give 4.7% apply error and
+        # the full f32 pipeline 86%, while f64-assembled values CAST to
+        # f32 give 3e-6 — the storage/inversion precision is irrelevant,
+        # the assembly arithmetic is everything).  'Factor Precision'
+        # = 'f64' therefore runs the factor pipeline in f64 and casts
+        # the resulting factors to the apply dtype.  This is the
+        # TPU-native analogue of the reference doing all setup in
+        # double (HYMLS_SchurPreconditioner.cpp AssembleTransformAndDrop).
+        fprec = params.sublist("Preconditioner").get(
+            "Factor Precision", "Same")
+        if factor_dtype is None and fprec == "f64" and \
+                np.dtype(dtype) == np.float32:
+            factor_dtype = jnp.float64
+        self.factor_dtype = factor_dtype if factor_dtype is not None \
+            else dtype
+        self._upcast = np.dtype(self.factor_dtype) != np.dtype(self.dtype)
         self.grid: GridInfo = grid_from_params(params)
 
         # B-grid transform: M = T' K T with T the 45-degree rotation of
@@ -688,15 +707,21 @@ class Preconditioner:
         force64 = self.params.sublist("Preconditioner").get(
             "Use 64-bit Indices", False)
         idx = jnp.int64 if force64 else None
-        self._dplans = [_device_level(p, self.dtype, idx_dtype=idx)
+        self._dplans = [_device_level(p, self.factor_dtype, idx_dtype=idx)
                         for p in self.plans]
         # the apply path reads only a small subset of the plan arrays;
         # passing the full plans into a Krylov-loop program makes the
         # TPU re-stream every captured buffer each iteration (measured
         # ~11.5 GB/s effective, linear in bytes) — so solve programs
-        # get this pruned pytree instead
-        self._aplans_gen = [{k: d[k] for k in _APPLY_FIELDS if k in d}
-                            for d in self._dplans]
+        # get this pruned pytree instead.  Under factor upcast the plan
+        # float fields (Householder reflectors) live in factor dtype
+        # for the compute side and are down-cast here for the apply.
+        self._aplans_gen = []
+        for d in self._dplans:
+            a = {k: d[k] for k in _APPLY_FIELDS if k in d}
+            if self._upcast and "w_vals" in a:
+                a["w_vals"] = a["w_vals"].astype(self.dtype)
+            self._aplans_gen.append(a)
         if self.coarse_plan is not None:
             cp = self.coarse_plan
             ci = idx or _plan_index_dtype(
@@ -722,6 +747,32 @@ class Preconditioner:
                 "fix_rows": jnp.asarray(dp.fix_rows, dtype=di),
             }
         self._make_jitted()
+
+    def _wrap_compute(self, compute_fn):
+        """Dtype-normalizing wrapper around a compute function: the
+        factor pipeline runs in `factor_dtype` (f64 assembly avoids the
+        catastrophic f32 Schur-cancellation measured on multilevel
+        problems — see the constructor comment) and the returned factor
+        pytree is cast to the apply dtype.  Always normalizes the input
+        values dtype, so callers may pass f64 values regardless of the
+        factor precision (the cast is free when dtypes coincide)."""
+        upcast = self._upcast
+        fdt = np.dtype(self.factor_dtype)
+        adt = self.dtype
+
+        def wrapped(vals, dplans, extra, border_vals=None):
+            v = vals.astype(fdt)
+            if border_vals is None:
+                fac = compute_fn(v, dplans, extra)
+            else:
+                bv = tuple(b.astype(fdt) for b in border_vals)
+                fac = compute_fn(v, dplans, extra, bv)
+            if not upcast:
+                return fac
+            return jax.tree.map(
+                lambda x: x.astype(adt) if x.dtype == fdt else x, fac)
+
+        return wrapped
 
     # -- jitted numeric functions -------------------------------------------
     # NOTE: the plan index arrays are passed as jit ARGUMENTS (not
@@ -829,7 +880,7 @@ class Preconditioner:
                 return src[dp["node_src"]], s
 
             bordered = self._border is not None
-            self._compute_pure = compute_fn
+            self._compute_pure = self._wrap_compute(compute_fn)
             self._apply_pure_gen = apply_fn
             self._apply_bordered_pure = apply_bordered_fn if bordered \
                 else None
@@ -900,11 +951,11 @@ class Preconditioner:
             def apply_fn(factors, dplans, b):       # noqa: F811
                 return Top(base_apply(factors, dplans, TopT(b)))
 
-        self._compute_pure = compute_fn
+        self._compute_pure = self._wrap_compute(compute_fn)
         self._apply_pure_gen = apply_fn
         self._apply_bordered_pure = apply_bordered_fn \
             if border is not None else None
-        self._compute_jit = jax.jit(compute_fn)
+        self._compute_jit = jax.jit(self._compute_pure)
         self._apply_jit = jax.jit(apply_fn)
         self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
             if border is not None else None
@@ -929,9 +980,9 @@ class Preconditioner:
             if K.nnz != self.K.nnz:
                 raise ValueError("matrix pattern changed")
             self.K = K
-        self._vals0 = jnp.asarray(self.K.data, dtype=self.dtype)
+        self._vals0 = jnp.asarray(self.K.data, dtype=self.factor_dtype)
         if self._border is not None:
-            bv = tuple(jnp.asarray(a, dtype=self.dtype)
+            bv = tuple(jnp.asarray(a, dtype=self.factor_dtype)
                        for a in self._border)
             self._factors = self._compute_jit(self._vals0, self._dplans,
                                               self._extra_plan, bv)

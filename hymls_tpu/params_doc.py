@@ -117,6 +117,15 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                              "partition allows it AND the problem is "
                              "large enough for the fold matmuls to win "
                              "(size heuristic)"),
+        "Factor Precision": ("string", "Same",
+                             "'Same' | 'f64'.  'f64' assembles the "
+                             "multilevel factors in f64 and casts them "
+                             "to the apply dtype — required for f32 "
+                             "applies of multilevel (L>=2) problems "
+                             "where f32 Schur-assembly cancellation "
+                             "destroys the preconditioner; the "
+                             "IterativeRefinementSolver defaults to "
+                             "'f64' (setup-only cost)"),
         "Drop Tolerance": ("double", 1e-14, "Small-entry drop threshold"),
         "Fill Factor": ("double", 3.0, "Reserved (KLU-era tuning knob)"),
     },

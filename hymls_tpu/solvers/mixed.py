@@ -62,9 +62,17 @@ class IterativeRefinementSolver:
             "Convergence Tolerance"] = self.inner_tol
         inner_params.sublist("Solver").sublist("Iterative Solver")[
             "Maximum Iterations"] = self.inner_maxiter
-        self.precond = Preconditioner(K, inner_params,
-                                      testvector=testvector,
-                                      dtype=jnp.float32)
+        # Factor assembly defaults to f64 here (cast to f32 for the
+        # apply): the f32 multilevel Schur assembly loses up to 86% of
+        # the preconditioner (skew 32^3 L=2 diverges outright; stokes
+        # 128^2 L=2 needs 5x the inner iterations), while f64-assembled
+        # factors cast to f32 are within 3e-6 of the f64 apply.  Setup
+        # cost only; opt out with 'Factor Precision' = 'Same'.
+        fprec = params.sublist("Preconditioner").get(
+            "Factor Precision", "f64")
+        self.precond = Preconditioner(
+            K, inner_params, testvector=testvector, dtype=jnp.float32,
+            factor_dtype=jnp.float64 if fprec == "f64" else jnp.float32)
         self.solver = Solver(K, self.precond, inner_params,
                              dtype=jnp.float32)
         self.op64 = make_operator(K, dtype=jnp.float64)
@@ -161,7 +169,11 @@ class IterativeRefinementSolver:
         fused = self._fused_fn
 
         def newton(vals64, vals32, dplans, extra, aplans, b):
-            factors = compute(vals32, dplans, extra)
+            # factor from the FULL-precision values: compute is
+            # dtype-normalizing (assembles in factor_dtype, returns
+            # apply-dtype factors), so this costs nothing when factor
+            # precision is 'Same' and avoids double rounding when f64
+            factors = compute(vals64, dplans, extra)
             afac = P.apply_factors_from_pure(factors, aplans)
             return fused(vals64, vals32, afac, aplans, b)
 

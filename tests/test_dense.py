@@ -123,3 +123,79 @@ def test_multilevel_f64_through_mixed_path():
 
     assert relres <= 1e-10
     assert iters_mixed <= iters_f64 + 2
+
+
+def test_factor_precision_f64_assembly():
+    """'Factor Precision'='f64' (f64 assembly, f32 factors): the f32
+    multilevel Schur assembly cancels catastrophically (measured 2.1%
+    apply error on Stokes-C 32^2 L=2 and 86% / outright divergence on
+    skew 32^3 L=2), while f64-assembled values cast to f32 stay within
+    f32 apply-arithmetic noise.  This is the TPU analogue of the
+    reference performing all setup in double
+    (HYMLS_SchurPreconditioner.cpp AssembleTransformAndDrop)."""
+    from hymls_tpu.config import Params
+    from hymls_tpu.stencils import create_matrix, create_testvector
+    from hymls_tpu import Preconditioner
+
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Iterative Solver": {"Maximum Iterations": 100,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 2},
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(K.shape[0])
+
+    P64 = Preconditioner(K, params, testvector=tv,
+                         dtype=jnp.float64).compute()
+    y_ref = np.asarray(P64.apply_inverse(jnp.asarray(r)), np.float64)
+    nref = np.linalg.norm(y_ref)
+
+    def err(P):
+        y = np.asarray(P.apply_inverse(jnp.asarray(r, P.dtype)),
+                       np.float64)
+        return np.linalg.norm(y - y_ref) / nref
+
+    P32u = Preconditioner(K, params, testvector=tv, dtype=jnp.float32,
+                          factor_dtype=jnp.float64).compute()
+    # factors must be stored in the APPLY dtype (f32) — setup-only cost
+    assert P32u.factors["levels"][0]["A11inv"].dtype == jnp.float32
+    co = P32u.factors["coarse"]
+    assert (co["inv"] if "inv" in co else co["lu"]).dtype == jnp.float32
+
+    e_up = err(P32u)
+    e_same = err(Preconditioner(K, params, testvector=tv,
+                                dtype=jnp.float32).compute())
+    # measured: 3.8e-7 vs 2.1e-2 — require two orders of magnitude
+    assert e_up < 1e-4, e_up
+    assert e_up < e_same / 100, (e_up, e_same)
+
+
+def test_ir_solver_defaults_to_f64_assembly():
+    """IterativeRefinementSolver must converge on a multilevel problem
+    through its (default f64-assembly) f32 inner path."""
+    from hymls_tpu.config import Params
+    from hymls_tpu.stencils import create_matrix, create_testvector
+    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Iterative Solver": {"Maximum Iterations": 200,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 2},
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    S = IterativeRefinementSolver(K, params, testvector=tv).compute()
+    assert S.precond.factor_dtype == jnp.float64
+    rng = np.random.default_rng(1)
+    b = np.asarray(K @ rng.standard_normal(K.shape[0]))
+    x = np.asarray(S.solve(b))
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert relres <= 1e-10, relres

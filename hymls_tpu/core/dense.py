@@ -124,6 +124,34 @@ def inv_newton(A, refine: int = 6, force_mixed: bool = False):
     return X
 
 
+def inv_chain(A, force_hybrid: bool = False):
+    """(Batched) dense inverse for the FACTOR-UPCAST values chain:
+    accurate to ~cond^2*eps32^2 (1e-9-class for the subdomain interior
+    blocks), not to f64 residual level.
+
+    Rationale: in factor-upcast mode the factors are cast to f32 (6e-8)
+    at the end — chain accuracy beyond ~1e-9 buys nothing.  The f64
+    arithmetic exists to stop the multilevel Schur cancellation from
+    amplifying f32 rounding (kappa ~1e5-1e6 at the coarse level), and
+    kappa * 1e-9 is already below the f32 apply noise floor.  So:
+    f32 seed inverse + ONE fixed Newton step with a hybrid precision
+    split — the residual R = I - A X must be f64 (it IS a cancellation),
+    but the correction X @ R can be f32 since |R| ~ 1e-5 makes its
+    rounding O(1e-12).  Costs one f32 batched inverse + one emulated-f64
+    matmul + one f32 matmul; measured 9x faster than the adaptive
+    `inv_newton` refinement on (1024,47,47) f64 (262 ms -> ~30 ms on
+    v5e).  Falls back to inv_newton for f32 inputs / CPU."""
+    if A.dtype != jnp.float64 or \
+            (not on_accelerator() and not force_hybrid):
+        # f32 input: plain inverse; CPU: native f64 LU beats the hybrid
+        return inv_newton(A)
+    X32 = _batched_inv(A.astype(jnp.float32))
+    X = X32.astype(jnp.float64)
+    R = jnp.eye(A.shape[-1], dtype=A.dtype) - A @ X
+    dX = (X32 @ R.astype(jnp.float32)).astype(jnp.float64)
+    return X + dX
+
+
 def dense_factor(A) -> dict:
     """Factor one (unbatched) dense system for repeated solves."""
     n = A.shape[-1]

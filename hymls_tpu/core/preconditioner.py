@@ -52,7 +52,8 @@ def _ext(v):
 
 
 from .dense import (on_accelerator as _on_accelerator,
-                    inv_newton as _inv, dense_factor as _dense_factor,
+                    inv_newton as _inv, inv_chain as _inv_chain,
+                    dense_factor as _dense_factor,
                     dense_solve as _dense_solve)
 
 
@@ -154,8 +155,17 @@ def _device_level(plan: LevelPlan, dtype,
 # per-level numeric kernels
 # ---------------------------------------------------------------------------
 
-def _compute_level(vals, dp, sizes, apply_ot=True):
-    """Factor one level: returns (factors dict, next-level values)."""
+def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None):
+    """Factor one level: returns (factors dict, next-level values).
+
+    `store_dtype` (factor-upcast mode): the VALUES chain (A11inv -> G ->
+    T11 -> sc -> next level) runs in vals.dtype (f64) because Schur
+    cancellation amplifies rounding catastrophically, but the non-Vsum
+    block inverse feeds only the APPLY — and measured (V2 isolation on
+    skew 32^3) an f32 inverse of accurately-assembled values is within
+    3e-6 of f64, while inv_newton on an f64 input pays up to 6 emulated
+    f64 Newton matmul steps.  So blkinv is inverted directly in the
+    store dtype."""
     n_sep, nnz_sc = sizes
     dtype = vals.dtype
     vals_ext = _ext(vals)
@@ -164,7 +174,7 @@ def _compute_level(vals, dp, sizes, apply_ot=True):
     ni = A11.shape[-1]
     A11 = A11 + jnp.eye(ni, dtype=dtype)[None] * \
         (~dp["int_mask"])[:, :, None]
-    A11inv = _inv(A11)
+    A11inv = _inv(A11) if store_dtype is None else _inv_chain(A11)
 
     A12 = shard_batch(vals_ext[dp["A12_idx"]])
     A21 = shard_batch(vals_ext[dp["A21_idx"]])
@@ -194,6 +204,8 @@ def _compute_level(vals, dp, sizes, apply_ot=True):
     # producing NaNs
     zero_rows = jnp.sum(jnp.abs(B), axis=-1) == 0
     B = B + jnp.eye(mb, dtype=dtype)[None] * zero_rows[:, :, None]
+    if store_dtype is not None:
+        B = B.astype(store_dtype)
     blkinv = _inv(B)
 
     nxt = sc[dp["next_idx"]]
@@ -258,9 +270,11 @@ def _compute_level_border(fac, dp, sizes, V, W, C):
     return bfac, V_next, W_next, Cp
 
 
-def _coarse_factor_aug(vals, rows, cols, diag_entry, fix_rows, n, V, W, C):
+def _coarse_factor_aug(vals, rows, cols, diag_entry, fix_rows, n, V, W, C,
+                       store_dtype=None):
     """Bordered coarse factorization: dense LU of [A V; W' C]
-    (reference CoarseSolver::Compute + AugmentedMatrix)."""
+    (reference CoarseSolver::Compute + AugmentedMatrix).
+    `store_dtype`: see _coarse_factor."""
     dtype = vals.dtype
     vals = _drop_rel_diag(vals, rows, cols, diag_entry)
     m = V.shape[1]
@@ -272,6 +286,8 @@ def _coarse_factor_aug(vals, rows, cols, diag_entry, fix_rows, n, V, W, C):
     top = jnp.concatenate([A, V], axis=1)
     bot = jnp.concatenate([W.T, C], axis=1)
     Aug = jnp.concatenate([top, bot], axis=0)
+    if store_dtype is not None:
+        Aug = Aug.astype(store_dtype)
     return _dense_factor(Aug)
 
 
@@ -322,9 +338,17 @@ def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
     return src[dp["node_src"]], S
 
 
-def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
+def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n,
+                   store_dtype=None):
     """Dense coarse factorization (reference CoarseSolver::Compute:
-    RelFullDiag drop + PutDirichlet + direct LU)."""
+    RelFullDiag drop + PutDirichlet + direct LU).
+
+    In factor-upcast mode the matrix is ASSEMBLED (and dropped) in f64
+    but inverted in the store dtype: the V2 isolation showed the f32
+    inverse of f64-assembled coarse values is within 3e-6 of f64, while
+    inv_newton on an f64 coarse system pays ~6 emulated-f64 Newton
+    matmuls of the full n^2 system — the single most expensive piece of
+    the f64 factor pipeline (measured ~0.2 s at n~3.3k on v5e)."""
     dtype = vals.dtype
     vals = _drop_rel_diag(vals, rows, cols, diag_entry)
     A = jnp.zeros((n, n), dtype=dtype).at[rows, cols].add(vals)
@@ -332,6 +356,8 @@ def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n):
         keep = jnp.ones(n, dtype=dtype).at[fix_rows].set(0.0)
         A = A * keep[:, None] * keep[None, :]
         A = A.at[fix_rows, fix_rows].set(1.0)
+    if store_dtype is not None:
+        A = A.astype(store_dtype)
     return _dense_factor(A)
 
 
@@ -781,6 +807,12 @@ class Preconditioner:
     def _make_jitted(self):
         plans = self.plans
         max_level = self.max_level
+        # factor-upcast mode: assemble values in f64, invert the blocks
+        # that feed only the APPLY (blkinv, coarse) directly in the
+        # store dtype — their precision is irrelevant (V2 isolation),
+        # and skipping their f64 Newton refinement saves the dominant
+        # emulated-f64 matmul cost of the upcast factor pipeline
+        store = self.dtype if self._upcast else None
 
         if max_level == 0:
             P = plans[0]
@@ -802,7 +834,7 @@ class Preconditioner:
                 ni = A11.shape[-1]
                 A11 = A11 + jnp.eye(ni, dtype=vals.dtype)[None] * \
                     (~dp["int_mask"])[:, :, None]
-                A11inv = _inv(A11)
+                A11inv = _inv(A11) if store is None else _inv_chain(A11)
                 A12 = vals_ext[dp["A12_idx"]]
                 A21 = vals_ext[dp["A21_idx"]]
                 G = A11inv @ A12
@@ -810,7 +842,8 @@ class Preconditioner:
                 S = _direct_sc_matrix(vals, ddirect, T11, n_sep)
                 fac = {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}]}
                 if border_vals is None:
-                    fac["coarse"] = _dense_factor(S)
+                    fac["coarse"] = _dense_factor(
+                        S if store is None else S.astype(store))
                     return fac
                 # bordered direct solve: eliminate the interiors from
                 # [K V; W' C] and invert the dense augmented SC
@@ -830,7 +863,8 @@ class Preconditioner:
                 Cs = C - jnp.einsum("sim,sin->mn", W1, Q1)
                 Maug = jnp.block([[S, SchurV],
                                   [SchurW.T, Cs]])
-                fac["coarse"] = _dense_factor(Maug)
+                fac["coarse"] = _dense_factor(
+                    Maug if store is None else Maug.astype(store))
                 fac["border"] = {"Q1": Q1, "W1": W1}
                 return fac
 
@@ -903,12 +937,14 @@ class Preconditioner:
             v = vals
             for lev in range(max_level):
                 f, v = _compute_level(v, dplans[lev], sizes[lev],
-                                      apply_ot=ots[lev])
+                                      apply_ot=ots[lev],
+                                      store_dtype=store)
                 facs.append(f)
             if border_vals is None:
                 coarse = _coarse_factor(v, dcoarse["rows"], dcoarse["cols"],
                                         dcoarse["diag_entry"],
-                                        dcoarse["fix_rows"], cp.n)
+                                        dcoarse["fix_rows"], cp.n,
+                                        store_dtype=store)
             else:
                 V, W, C = border_vals
                 for lev in range(max_level):
@@ -918,7 +954,7 @@ class Preconditioner:
                 coarse = _coarse_factor_aug(
                     v, dcoarse["rows"], dcoarse["cols"],
                     dcoarse["diag_entry"], dcoarse["fix_rows"],
-                    cp.n, V, W, C)
+                    cp.n, V, W, C, store_dtype=store)
             return {"levels": facs, "coarse": coarse}
 
         def apply_fn(factors, dplans, b):

@@ -23,8 +23,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _ACTIVE_MESH: Optional[Mesh] = None
 
 
+def topo_order(devs):
+    """Topology-aware device ordering (the reference HyperCube role,
+    src/HYMLS_HyperCube.hpp:11-36 node-aware rank renumbering): walk
+    the physical ICI torus coordinates boustrophedon (snake) so
+    consecutive devices in the 1D 'sd' ring are physical neighbors —
+    every ppermute hop of the halo V-cycle then traverses a single ICI
+    link instead of a random multi-hop route.  Devices without torus
+    coordinates (CPU/virtual) keep their given order."""
+    try:
+        coords = [tuple(d.coords) for d in devs]
+    except AttributeError:
+        return list(devs)
+    ndim = len(coords[0])
+    sizes = [max(c[i] for c in coords) + 1 for i in range(ndim)]
+
+    def snake(d):
+        idx = 0
+        for i, ci in enumerate(tuple(d.coords)):
+            if idx & 1:
+                ci = sizes[i] - 1 - ci
+            idx = idx * sizes[i] + ci
+        return (idx, getattr(d, "core_on_chip", 0))
+
+    return sorted(devs, key=snake)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "sd") -> Mesh:
-    devs = jax.devices()
+    devs = topo_order(jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np

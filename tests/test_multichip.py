@@ -84,3 +84,33 @@ def test_sharded_vcycle_matches_serial():
     x_serial = np.asarray(P.apply_inverse(b))
     x_shard = np.asarray(apply_sh(fac_sh, pl_sh, b))
     assert np.abs(x_serial - x_shard).max() < 1e-12
+
+
+def test_topo_order_snake_walk():
+    """topo_order (the reference HyperCube role) must produce a walk of
+    the torus where consecutive devices differ by exactly 1 in exactly
+    one coordinate — every 'sd'-ring ppermute hop is one ICI link —
+    and must leave coordinate-less (CPU) devices untouched."""
+    from hymls_tpu.parallel.mesh import topo_order
+
+    class FakeDev:
+        def __init__(self, coords):
+            self.coords = coords
+            self.core_on_chip = 0
+
+    import itertools
+    import random
+    for shape in [(2, 4), (4, 4, 2), (2, 2, 1), (8,)]:
+        devs = [FakeDev(c) for c in itertools.product(
+            *[range(s) for s in shape])]
+        random.Random(0).shuffle(devs)
+        walk = [tuple(d.coords) for d in topo_order(devs)]
+        assert sorted(walk) == sorted(tuple(d.coords) for d in devs)
+        for a, b in zip(walk, walk[1:]):
+            diffs = [abs(x - y) for x, y in zip(a, b)]
+            assert sum(diffs) == 1, (a, b)
+
+    class Plain:  # no .coords
+        pass
+    plain = [Plain() for _ in range(4)]
+    assert topo_order(plain) == plain

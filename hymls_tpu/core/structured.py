@@ -43,6 +43,7 @@ Components:
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -55,6 +56,65 @@ from .dense import dense_solve as _dense_solve
 
 
 Off = Tuple[int, int, int]
+
+# -- static-permutation strategy for perm-mode (skew) levels ----------------
+# XLA lowers x[idx] with a dense index vector to a serial TPU gather at
+# ~10 ns/element; a static permutation can instead ride the vectorized
+# sort network: with `keys` the inverse permutation,
+# lax.sort_key_val(keys, x) yields x[perm] in its values slot —
+# O(n log n) lane-parallel work beats O(n) serial loads well before the
+# sizes where perm mode matters (tools/perm_bench.py, v5e: 65k elements
+# gather 471 us vs sort 33 us; 131k: 647+ us vs <50 us; 1M: 9.0 ms vs
+# 1.5 ms; at <=32k both sit below tunnel measurement noise).
+# HYMLS_PERM_STRATEGY: "auto" (sort on TPU above the size threshold),
+# "sort", or "gather".
+_PERM_SORT_MIN = 32768
+
+
+def _want_sort_perm(m: int, src: int) -> bool:
+    mode = os.environ.get("HYMLS_PERM_STRATEGY", "auto")
+    if mode == "sort":
+        return True
+    if mode != "auto":
+        return False
+    return (jax.default_backend() == "tpu"
+            and max(m, src) >= _PERM_SORT_MIN)
+
+
+def _perm_sort_plan(g, src_size: int) -> Optional[np.ndarray]:
+    """Re-express the static gather out[i] = src_ext[g[i]] (where
+    sentinel g[i] == src_size reads the appended zero) as one sorted
+    permutation.  Returns int32 keys of size P >= max(len(g), src_size)
+    such that sort_key_val(keys, pad(x, P))[1][:len(g)] == out, or None
+    when g is not injective on its valid entries (overlapping reads
+    cannot be a permutation)."""
+    g = np.asarray(g, np.int64).ravel()
+    m = g.size
+    valid = g < src_size
+    used = g[valid]
+    if np.unique(used).size != used.size:
+        return None
+    n_sent = m - used.size
+    P = max(m, src_size + n_sent)
+    perm = np.empty(P, np.int64)
+    zero_slots = np.arange(src_size, P)
+    perm[np.nonzero(valid)[0]] = used
+    perm[np.nonzero(~valid)[0]] = zero_slots[:n_sent]
+    if P > m:
+        unused_src = np.setdiff1d(np.arange(src_size), used)
+        perm[m:] = np.concatenate([unused_src, zero_slots[n_sent:]])
+    keys = np.empty(P, np.int64)
+    keys[perm] = np.arange(P)
+    return keys.astype(np.int32)
+
+
+def _sorted_perm(x, keys, m):
+    """Apply a _perm_sort_plan: pad x to len(keys), sort, take m."""
+    pad = keys.shape[0] - x.shape[0]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    _, s = jax.lax.sort_key_val(keys, x)
+    return s[:m]
 
 
 # ---------------------------------------------------------------------------
@@ -831,7 +891,7 @@ class StructuredProgram:
         # matrices indexed alongside them live in consts
         self._offsets: List[List[Off]] = []
         self._sw: List[int] = []
-        for L in levels:
+        for ilev, L in enumerate(levels):
             cm = np.zeros((L.n_class, L.nK, L.nJ, L.nI))
             for c in range(L.n_class):
                 cm[c] = (L.class_of == c)
@@ -880,12 +940,32 @@ class StructuredProgram:
 
             entry = {}
             if L.mode == "perm":
-                entry["entry"] = dev(L.entry, jnp.int32)
+                # each static index map ships either as a gather index
+                # vector or as sort keys (see _want_sort_perm); the two
+                # are exactly equal permutations, so the choice is
+                # runtime-only and never changes results
+                def perm_const(g, src_size):
+                    if _want_sort_perm(np.asarray(g).size, src_size):
+                        k = _perm_sort_plan(g, src_size)
+                        if k is not None:
+                            return "_skeys", dev(k, jnp.int32)
+                    return "", dev(g, jnp.int32)
+
+                sfx, arr = perm_const(L.entry, L.in_size)
+                entry["entry" + sfx] = arr
                 entry["sdmap"] = dev(L.sd_of_box, jnp.int32)
                 if L.exit is not None:
-                    entry["exit"] = dev(L.exit, jnp.int32)
+                    lat = L.nK * L.nJ * L.nI * L.NCH
+                    if ilev == 0:      # exit map is only applied at lev 0
+                        sfx, arr = perm_const(L.exit, lat)
+                        entry["exit" + sfx] = arr
+                    else:
+                        entry["exit"] = dev(L.exit, jnp.int32)
                 if L.up is not None:
-                    entry["up"] = dev(L.up, jnp.int32)
+                    child = levels[ilev + 1]
+                    c_size = child.nK * child.nJ * child.nI * child.NCH
+                    sfx, arr = perm_const(L.up, c_size)
+                    entry["up" + sfx] = arr
             self._const.append({
                 "class_mask": dev(cm),
                 "sel": dev(L.sel),
@@ -987,9 +1067,14 @@ class StructuredProgram:
         SW = self._sw[lev]
 
         if L.mode == "perm":
-            b_ext = jnp.concatenate(
-                [b.reshape(-1), jnp.zeros((1,), dtype)])
-            r = b_ext[c["entry"]]
+            if "entry_skeys" in c:
+                r = _sorted_perm(b.reshape(-1), c["entry_skeys"],
+                                 nK * nJ * nI * L.NCH
+                                 ).reshape(nK, nJ, nI, L.NCH)
+            else:
+                b_ext = jnp.concatenate(
+                    [b.reshape(-1), jnp.zeros((1,), dtype)])
+                r = b_ext[c["entry"]]
         elif L.grid_dims is not None:
             # boxes overhang a non-divisible parent grid: zero-pad,
             # then the per-class folds treat phantom channels as absent
@@ -1040,9 +1125,14 @@ class StructuredProgram:
             if self.levels[lev + 1].mode == "perm":
                 # perm child returns its flat (box, channel) vector;
                 # route it back into this level's Vsum layout
-                nxt_ext = jnp.concatenate(
-                    [x_next, jnp.zeros((1,), dtype)])
-                x_next = nxt_ext[c["up"]].reshape(vs.shape)
+                if "up_skeys" in c:
+                    x_next = _sorted_perm(
+                        x_next, c["up_skeys"],
+                        int(np.prod(vs.shape))).reshape(vs.shape)
+                else:
+                    nxt_ext = jnp.concatenate(
+                        [x_next, jnp.zeros((1,), dtype)])
+                    x_next = nxt_ext[c["up"]].reshape(vs.shape)
         else:
             rhs = vs.reshape(-1)[consts["coarse"]["src"]]
             sol = _dense_solve(sfactors["coarse"], rhs)
@@ -1082,6 +1172,9 @@ class StructuredProgram:
         if L.mode == "perm":
             out_flat = out.reshape(-1)
             if lev == 0:
+                if "exit_skeys" in c:
+                    return _sorted_perm(out_flat, c["exit_skeys"],
+                                        L.n_nodes)
                 return out_flat[c["exit"]]
             return out_flat       # the parent routes via its 'up' map
         out = out.reshape(nK, nJ, nI, bz, by, bx, L.in_chan) \

@@ -162,6 +162,39 @@ def test_skew_3d_structured_matches_generic(eq, prob, prec):
     assert np.max(np.abs(x_s - x_g)) <= 1e-12 * scale
 
 
+SORT_PERM_CASES = [
+    ("Laplace", {"nx": 32, "ny": 32}, {"Number of Levels": 2}, 2),
+    ("Stokes-C", {"nx": 16, "ny": 16}, {"Number of Levels": 1}, 2),
+    ("Laplace", {"nx": 8, "ny": 8, "nz": 8}, {"Number of Levels": 1}, 3),
+]
+
+
+@pytest.mark.parametrize("eq,prob,prec,dim", SORT_PERM_CASES)
+def test_sort_perm_strategy_bit_identical(eq, prob, prec, dim,
+                                          monkeypatch):
+    """The sort-based static permutation (entry/exit/up maps as
+    lax.sort_key_val over precomputed inverse-permutation keys,
+    core/structured.py:_perm_sort_plan) is an exact re-expression of
+    the gather: values only move, so the two strategies must agree
+    BIT-FOR-BIT.  On TPU the sort path is 6-14x faster above 32k
+    elements (tools/perm_bench.py)."""
+    prec = dict({"Partitioner": "Skew Cartesian"}, **prec)
+    outs = {}
+    for strat in ("gather", "sort"):
+        monkeypatch.setenv("HYMLS_PERM_STRATEGY", strat)
+        K, P = _build(eq, prob, prec, dim)
+        assert P._structured is not None, \
+            getattr(P, "_structured_reason", "")
+        keyed = any("_skeys" in k for c in P._structured.consts["levels"]
+                    for k in c)
+        assert keyed == (strat == "sort")
+        P.compute()
+        b = np.random.default_rng(3).standard_normal(K.shape[0])
+        outs[strat] = np.asarray(P._sapply_jit(
+            P._sfactors, P._structured.consts, jnp.asarray(b)))
+    np.testing.assert_array_equal(outs["gather"], outs["sort"])
+
+
 CONFIG_CASES = ["stokes_L2"]
 CONFIG_CASES_SLOW = ["stokes_L3", "stokes_THCM3", "stokes_THCM4"]
 

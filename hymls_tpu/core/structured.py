@@ -43,7 +43,6 @@ Components:
 """
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -57,64 +56,12 @@ from .dense import dense_solve as _dense_solve
 
 Off = Tuple[int, int, int]
 
-# -- static-permutation strategy for perm-mode (skew) levels ----------------
-# XLA lowers x[idx] with a dense index vector to a serial TPU gather at
-# ~10 ns/element; a static permutation can instead ride the vectorized
-# sort network: with `keys` the inverse permutation,
-# lax.sort_key_val(keys, x) yields x[perm] in its values slot —
-# O(n log n) lane-parallel work beats O(n) serial loads well before the
-# sizes where perm mode matters (tools/perm_bench.py, v5e: 65k elements
-# gather 471 us vs sort 33 us; 131k: 647+ us vs <50 us; 1M: 9.0 ms vs
-# 1.5 ms; at <=32k both sit below tunnel measurement noise).
-# HYMLS_PERM_STRATEGY: "auto" (sort on TPU above the size threshold),
-# "sort", or "gather".
-_PERM_SORT_MIN = 32768
-
-
-def _want_sort_perm(m: int, src: int) -> bool:
-    mode = os.environ.get("HYMLS_PERM_STRATEGY", "auto")
-    if mode == "sort":
-        return True
-    if mode != "auto":
-        return False
-    return (jax.default_backend() == "tpu"
-            and max(m, src) >= _PERM_SORT_MIN)
-
-
-def _perm_sort_plan(g, src_size: int) -> Optional[np.ndarray]:
-    """Re-express the static gather out[i] = src_ext[g[i]] (where
-    sentinel g[i] == src_size reads the appended zero) as one sorted
-    permutation.  Returns int32 keys of size P >= max(len(g), src_size)
-    such that sort_key_val(keys, pad(x, P))[1][:len(g)] == out, or None
-    when g is not injective on its valid entries (overlapping reads
-    cannot be a permutation)."""
-    g = np.asarray(g, np.int64).ravel()
-    m = g.size
-    valid = g < src_size
-    used = g[valid]
-    if np.unique(used).size != used.size:
-        return None
-    n_sent = m - used.size
-    P = max(m, src_size + n_sent)
-    perm = np.empty(P, np.int64)
-    zero_slots = np.arange(src_size, P)
-    perm[np.nonzero(valid)[0]] = used
-    perm[np.nonzero(~valid)[0]] = zero_slots[:n_sent]
-    if P > m:
-        unused_src = np.setdiff1d(np.arange(src_size), used)
-        perm[m:] = np.concatenate([unused_src, zero_slots[n_sent:]])
-    keys = np.empty(P, np.int64)
-    keys[perm] = np.arange(P)
-    return keys.astype(np.int32)
-
-
-def _sorted_perm(x, keys, m):
-    """Apply a _perm_sort_plan: pad x to len(keys), sort, take m."""
-    pad = keys.shape[0] - x.shape[0]
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-    _, s = jax.lax.sort_key_val(keys, x)
-    return s[:m]
+# static-permutation strategy for perm-mode (skew) levels: shared
+# with the factor path in core/permute.py (see its module docstring
+# for the measured gather-vs-sort crossover)
+from .permute import (want_sort_perm as _want_sort_perm,
+                      perm_sort_plan as _perm_sort_plan,
+                      apply_sorted_perm as _sorted_perm)
 
 
 # ---------------------------------------------------------------------------

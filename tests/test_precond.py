@@ -132,3 +132,35 @@ def test_int64_device_plans():
     y32 = np.asarray(P32.apply_inverse(b))
     y64 = np.asarray(P64.apply_inverse(b))
     assert np.array_equal(y32, y64)
+
+
+@pytest.mark.parametrize("eqn,levels,part", [
+    ("Stokes-C", 2, "Skew Cartesian"),
+    ("Laplace", 1, "Cartesian"),
+])
+def test_factor_sort_perm_bit_identical(eqn, levels, part, monkeypatch):
+    """The factor-path block-extraction gathers (A11/A12/A21/A22,
+    sc11_gather, blk_idx) re-expressed as sort-permutations
+    (core/permute.py, chosen in _device_level) move values only — the
+    factors and the preconditioner apply must agree BIT-FOR-BIT with
+    the plain-gather strategy.  Non-injective maps (shared A22
+    entries) must silently fall back."""
+    import jax
+    outs = {}
+    for strat in ("gather", "sort"):
+        monkeypatch.setenv("HYMLS_PERM_STRATEGY", strat)
+        params = _params(eqn, 16, levels, tol=1e-8)
+        params.sublist("Preconditioner")["Partitioner"] = part
+        params.sublist("Preconditioner")["Structured Apply"] = False
+        K = create_matrix(params)
+        P = Preconditioner(K, params,
+                           testvector=create_testvector(params, K))
+        nsk = sum(1 for d in P._dplans for f in d if f.endswith("_skeys"))
+        assert (nsk > 0) == (strat == "sort")
+        P.compute()
+        b = np.random.default_rng(11).standard_normal(K.shape[0])
+        outs[strat] = (P.factors, np.asarray(P.apply_inverse(b)))
+    for a, c in zip(jax.tree.leaves(outs["gather"][0]),
+                    jax.tree.leaves(outs["sort"][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    np.testing.assert_array_equal(outs["gather"][1], outs["sort"][1])

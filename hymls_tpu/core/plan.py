@@ -188,7 +188,7 @@ class LevelPlan:
     w_pos: np.ndarray            # (n_refl, gmax) positions into sep vector
 
     # Schur-complement assembly
-    sc22_src: np.ndarray         # (nnz_sc,) flat index into T22 (+sentinel)
+    sc22_src: np.ndarray         # (nnz_sc,) flat index into T22 (no sent.)
     sc11_src: np.ndarray         # (n_contrib,) flat index into T11
     sc11_seg: np.ndarray         # (n_contrib,) target entry in [0, nnz_sc)
 

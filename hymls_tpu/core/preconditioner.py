@@ -173,7 +173,8 @@ def _device_level(plan: LevelPlan, dtype,
     t11_size = int(np.prod(np.asarray(plan.A22_idx).shape))
     src_of = {"A11_idx": plan.nnz, "A12_idx": plan.nnz,
               "A21_idx": plan.nnz, "A22_idx": plan.nnz,
-              "sc11_gather": t11_size, "blk_idx": plan.nnz_sc}
+              "sc11_gather": t11_size, "blk_idx": plan.nnz_sc,
+              "sc22_src": t11_size}
     for f, src in src_of.items():
         g = np.asarray(getattr(plan, f))
         if g.size and want_sort_perm(g.size, src):
@@ -221,7 +222,7 @@ def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None):
     else:
         T22q, T11q = A22, T11
 
-    sc = T22q.reshape(-1)[dp["sc22_src"]]
+    sc = _pgather(dp, "sc22_src", T22q.reshape(-1))
     sc = sc + jnp.sum(_pgather(dp, "sc11_gather", T11q.reshape(-1)),
                       axis=1)
 

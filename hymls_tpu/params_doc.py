@@ -125,7 +125,10 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                              "where f32 Schur-assembly cancellation "
                              "destroys the preconditioner; the "
                              "IterativeRefinementSolver defaults to "
-                             "'f64' (setup-only cost)"),
+                             "'f64' when Number of Levels >= 2 and "
+                             "'Same' otherwise (single-level assembly "
+                             "has no recursive cancellation chain; "
+                             "setup-only cost)"),
         "Drop Tolerance": ("double", 1e-14, "Small-entry drop threshold"),
         "Fill Factor": ("double", 3.0, "Reserved (KLU-era tuning knob)"),
     },

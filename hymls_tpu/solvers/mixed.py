@@ -62,14 +62,22 @@ class IterativeRefinementSolver:
             "Convergence Tolerance"] = self.inner_tol
         inner_params.sublist("Solver").sublist("Iterative Solver")[
             "Maximum Iterations"] = self.inner_maxiter
-        # Factor assembly defaults to f64 here (cast to f32 for the
-        # apply): the f32 multilevel Schur assembly loses up to 86% of
-        # the preconditioner (skew 32^3 L=2 diverges outright; stokes
-        # 128^2 L=2 needs 5x the inner iterations), while f64-assembled
-        # factors cast to f32 are within 3e-6 of the f64 apply.  Setup
-        # cost only; opt out with 'Factor Precision' = 'Same'.
+        # Factor assembly defaults to f64 for MULTILEVEL (>= 2 level)
+        # preconditioners, where the recursive Schur assembly cancels
+        # catastrophically in f32 (skew 32^3 L=2 diverges outright;
+        # stokes 128^2 L=2 needs 5x the inner iterations), while
+        # f64-assembled factors cast to f32 are within 3e-6 of the f64
+        # apply.  With a single reduction level there is no recursive
+        # cancellation chain and f32 assembly is measured safe (round-1
+        # cavity-64 L=1: relres 5e-15 at reference iteration parity),
+        # so L<=1 defaults to 'Same' — skipping the emulated-f64
+        # assembly matmuls and halving the factor-gather payloads
+        # (~25% off the fused Newton step on v5e).  Opt in/out
+        # explicitly with 'Factor Precision' = 'f64' | 'Same'.
+        n_levels = params.sublist("Preconditioner").get(
+            "Number of Levels", 1)
         fprec = params.sublist("Preconditioner").get(
-            "Factor Precision", "f64")
+            "Factor Precision", "f64" if n_levels >= 2 else "Same")
         self.precond = Preconditioner(
             K, inner_params, testvector=testvector, dtype=jnp.float32,
             factor_dtype=jnp.float64 if fprec == "f64" else jnp.float32)

@@ -69,6 +69,7 @@ def _pgather(dp, field, src_flat):
 
 from .dense import (on_accelerator as _on_accelerator,
                     inv_newton as _inv, inv_chain as _inv_chain,
+                    warm_inv as _warm_inv, warm_inv_chain as _warm_chain,
                     dense_factor as _dense_factor,
                     dense_solve as _dense_solve)
 
@@ -188,8 +189,15 @@ def _device_level(plan: LevelPlan, dtype,
 # per-level numeric kernels
 # ---------------------------------------------------------------------------
 
-def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None):
+def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None,
+                   prev=None):
     """Factor one level: returns (factors dict, next-level values).
+
+    `prev` (warm recompute): the previous factor dict of this level (in
+    apply dtype) — the dense inverses are then Newton-Schulz-polished
+    from their previous values instead of re-factored (see
+    dense.warm_inv), the TPU-native SetMatrix-then-Compute fast path
+    for Newton/continuation loops.
 
     `store_dtype` (factor-upcast mode): the VALUES chain (A11inv -> G ->
     T11 -> sc -> next level) runs in vals.dtype (f64) because Schur
@@ -206,7 +214,11 @@ def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None):
     ni = A11.shape[-1]
     A11 = A11 + jnp.eye(ni, dtype=dtype)[None] * \
         (~dp["int_mask"])[:, :, None]
-    A11inv = _inv(A11) if store_dtype is None else _inv_chain(A11)
+    if prev is not None:
+        A11inv = _warm_inv(A11, prev["A11inv"]) if store_dtype is None \
+            else _warm_chain(A11, prev["A11inv"])
+    else:
+        A11inv = _inv(A11) if store_dtype is None else _inv_chain(A11)
 
     A12 = shard_batch(_pgather(dp, "A12_idx", vals))
     A21 = shard_batch(_pgather(dp, "A21_idx", vals))
@@ -237,7 +249,7 @@ def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None):
     B = B + jnp.eye(mb, dtype=dtype)[None] * zero_rows[:, :, None]
     if store_dtype is not None:
         B = B.astype(store_dtype)
-    blkinv = _inv(B)
+    blkinv = _inv(B) if prev is None else _warm_inv(B, prev["blkinv"])
 
     nxt = sc[dp["next_idx"]]
     nxt = _drop_rel_diag(nxt, dp["next_rows"], dp["next_cols"],
@@ -370,7 +382,7 @@ def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
 
 
 def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n,
-                   store_dtype=None):
+                   store_dtype=None, prev=None):
     """Dense coarse factorization (reference CoarseSolver::Compute:
     RelFullDiag drop + PutDirichlet + direct LU).
 
@@ -389,6 +401,8 @@ def _coarse_factor(vals, rows, cols, diag_entry, fix_rows, n,
         A = A.at[fix_rows, fix_rows].set(1.0)
     if store_dtype is not None:
         A = A.astype(store_dtype)
+    if prev is not None and "inv" in prev:
+        return {"inv": _warm_inv(A, prev["inv"])}
     return _dense_factor(A)
 
 
@@ -831,6 +845,23 @@ class Preconditioner:
 
         return wrapped
 
+    def _wrap_recompute(self, recompute_fn):
+        """Dtype-normalizing wrapper for the warm recompute path (see
+        _wrap_compute); `prev` is the previous compute()/recompute()
+        output in apply dtype.  Bordered problems use the cold path."""
+        upcast = self._upcast
+        fdt = np.dtype(self.factor_dtype)
+        adt = self.dtype
+
+        def wrapped(vals, dplans, extra, prev):
+            fac = recompute_fn(vals.astype(fdt), dplans, extra, prev)
+            if not upcast:
+                return fac
+            return jax.tree.map(
+                lambda x: x.astype(adt) if x.dtype == fdt else x, fac)
+
+        return wrapped
+
     # -- jitted numeric functions -------------------------------------------
     # NOTE: the plan index arrays are passed as jit ARGUMENTS (not
     # captured) so they become XLA parameters rather than giant inline
@@ -858,13 +889,20 @@ class Preconditioner:
                 flat = jnp.concatenate([flat, zero])
                 return jnp.sum(flat[dp["sep_from_sd"]], axis=1)
 
-            def compute_fn(vals, dplans, ddirect, border_vals=None):
+            def compute_fn(vals, dplans, ddirect, border_vals=None,
+                           prev=None):
                 dp = dplans[0]
                 A11 = _pgather(dp, "A11_idx", vals)
                 ni = A11.shape[-1]
                 A11 = A11 + jnp.eye(ni, dtype=vals.dtype)[None] * \
                     (~dp["int_mask"])[:, :, None]
-                A11inv = _inv(A11) if store is None else _inv_chain(A11)
+                if prev is not None:
+                    A11inv = _warm_inv(A11, prev["levels"][0]["A11inv"]) \
+                        if store is None \
+                        else _warm_chain(A11, prev["levels"][0]["A11inv"])
+                else:
+                    A11inv = _inv(A11) if store is None \
+                        else _inv_chain(A11)
                 A12 = _pgather(dp, "A12_idx", vals)
                 A21 = _pgather(dp, "A21_idx", vals)
                 G = A11inv @ A12
@@ -872,8 +910,12 @@ class Preconditioner:
                 S = _direct_sc_matrix(vals, ddirect, T11, n_sep)
                 fac = {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}]}
                 if border_vals is None:
-                    fac["coarse"] = _dense_factor(
-                        S if store is None else S.astype(store))
+                    Ss = S if store is None else S.astype(store)
+                    if prev is not None and "inv" in prev["coarse"]:
+                        fac["coarse"] = {"inv": _warm_inv(
+                            Ss, prev["coarse"]["inv"])}
+                    else:
+                        fac["coarse"] = _dense_factor(Ss)
                     return fac
                 # bordered direct solve: eliminate the interiors from
                 # [K V; W' C] and invert the dense augmented SC
@@ -945,10 +987,14 @@ class Preconditioner:
 
             bordered = self._border is not None
             self._compute_pure = self._wrap_compute(compute_fn)
+            self._recompute_pure = self._wrap_recompute(
+                lambda vals, dplans, extra, prev:
+                compute_fn(vals, dplans, extra, prev=prev))
             self._apply_pure_gen = apply_fn
             self._apply_bordered_pure = apply_bordered_fn if bordered \
                 else None
             self._compute_jit = jax.jit(self._compute_pure)
+            self._recompute_jit = None
             self._apply_jit = jax.jit(self._apply_pure_gen)
             self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
                 if bordered else None
@@ -987,6 +1033,26 @@ class Preconditioner:
                     cp.n, V, W, C, store_dtype=store)
             return {"levels": facs, "coarse": coarse}
 
+        def recompute_fn(vals, dplans, dcoarse, prev):
+            """Value-only warm recompute: same factor pytree as
+            compute_fn, with every dense inverse Newton-Schulz-polished
+            from the previous step's factors (dense.warm_inv; falls
+            back per-inverse when the seed doesn't contract)."""
+            facs = []
+            v = vals
+            for lev in range(max_level):
+                f, v = _compute_level(v, dplans[lev], sizes[lev],
+                                      apply_ot=ots[lev],
+                                      store_dtype=store,
+                                      prev=prev["levels"][lev])
+                facs.append(f)
+            coarse = _coarse_factor(v, dcoarse["rows"], dcoarse["cols"],
+                                    dcoarse["diag_entry"],
+                                    dcoarse["fix_rows"], cp.n,
+                                    store_dtype=store,
+                                    prev=prev["coarse"])
+            return {"levels": facs, "coarse": coarse}
+
         def apply_fn(factors, dplans, b):
             def solve_at(lev, rhs):
                 if lev == max_level:
@@ -1018,10 +1084,12 @@ class Preconditioner:
                 return Top(base_apply(factors, dplans, TopT(b)))
 
         self._compute_pure = self._wrap_compute(compute_fn)
+        self._recompute_pure = self._wrap_recompute(recompute_fn)
         self._apply_pure_gen = apply_fn
         self._apply_bordered_pure = apply_bordered_fn \
             if border is not None else None
         self._compute_jit = jax.jit(self._compute_pure)
+        self._recompute_jit = None
         self._apply_jit = jax.jit(apply_fn)
         self._apply_bordered_jit = jax.jit(apply_bordered_fn) \
             if border is not None else None
@@ -1060,6 +1128,43 @@ class Preconditioner:
                 self._prune_factors(self._factors),
                 self._structured.consts)
         return self
+
+    def recompute(self, K: Optional[sp.csr_matrix] = None):
+        """Warm value-only refactorization: like compute(K) with the
+        same-pattern requirement, but every dense inverse is
+        Newton-Schulz-polished from the current factors instead of
+        re-factored (dense.warm_inv; per-inverse residual-gated
+        fallback to the cold factorization).  The fast path for
+        Newton/continuation loops where successive matrices differ
+        modestly — the TPU-native acceleration of the reference's
+        SetMatrix-then-Compute reuse (src/HYMLS_Preconditioner.cpp
+        Compute() re-run after SetMatrix).  Bordered preconditioners
+        recompute cold."""
+        if self._factors is None or self._border is not None:
+            return self._compute(K)
+        from ..utils.timings import prof
+        with prof("Preconditioner.recompute", level=1):
+            prev = self._factors
+            if K is not None:
+                if self._bgrid_T is not None:
+                    K = self._transform_bgrid(K)
+                K = K.tocsr()
+                K.sum_duplicates()
+                K.sort_indices()
+                if K.nnz != self.K.nnz:
+                    raise ValueError("matrix pattern changed")
+                self.K = K
+            self._vals0 = jnp.asarray(self.K.data,
+                                      dtype=self.factor_dtype)
+            if self._recompute_jit is None:
+                self._recompute_jit = jax.jit(self._recompute_pure)
+            self._factors = self._recompute_jit(
+                self._vals0, self._dplans, self._extra_plan, prev)
+            if self._structured is not None:
+                self._sfactors = self._repack_jit(
+                    self._prune_factors(self._factors),
+                    self._structured.consts)
+            return self
 
     def set_border(self, V, W=None, C=None):
         """Add a border [K V; W' C] to the whole hierarchy (reference

@@ -145,7 +145,13 @@ def run_case(params: Params, dtype=None) -> RunReport:
         scaling = 1.0 / (10.0 * f + 1.0)
         Kc = K * scaling if f > 0 else K
         with timer.scope("compute"):
-            P.compute(Kc if f > 0 else None)
+            # 'Warm Recompute': Newton-Schulz-polish the dense inverses
+            # from the previous factorization instead of re-factoring
+            # (Preconditioner.recompute; residual-gated per inverse)
+            if f > 0 and driver.get("Warm Recompute", False):
+                P.recompute(Kc)
+            else:
+                P.compute(Kc if f > 0 else None)
             S.set_matrix(Kc)
             if params.sublist("Solver").get("Use Deflation", False):
                 S.setup_deflation()

@@ -137,6 +137,11 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                                      "Re-factor count (perturbed "
                                      "diagonal) per run"),
         "Number of solves": ("int", 1, "Solves per factorization"),
+        "Warm Recompute": ("bool", False,
+                           "Re-factorizations after the first polish "
+                           "the dense inverses from the previous "
+                           "factors (Newton-Schulz, residual-gated "
+                           "fallback) instead of re-factoring"),
         "Number of refinements": ("int", 0,
                                   "Grid-doubling refinement loops"),
         "Number of rhs": ("int", 1, "Right-hand sides per solve"),

@@ -187,6 +187,31 @@ class IterativeRefinementSolver:
 
         return (jax.jit(newton), P._dplans, P._extra_plan, P._aplans)
 
+    def newton_step_warm_fn(self):
+        """Warm-recompute Newton step: like newton_step_fn but
+        threading the factor pytree through the Newton sequence —
+        fn(vals64, vals32, dplans, extra, aplans, b, prev_factors) ->
+        (KrylovResult, factors).  The dense inverses are Newton-Schulz
+        polished from prev_factors with a per-inverse residual-gated
+        fallback (Preconditioner.recompute semantics); seed
+        prev_factors with a cold compute() output.  This is the
+        continuation-loop fast path: the cold factor's LU/triangular
+        inverses are replaced by a few batched MXU matmuls when
+        successive Jacobians differ modestly."""
+        if self._fused_jit is None:
+            self._build_fused()
+        P = self.precond
+        recompute = P._recompute_pure
+        fused = self._fused_fn
+
+        def newton(vals64, vals32, dplans, extra, aplans, b, prev):
+            factors = recompute(vals64, dplans, extra, prev)
+            afac = P.apply_factors_from_pure(factors, aplans)
+            res = fused(vals64, vals32, afac, aplans, b)
+            return res, factors
+
+        return (jax.jit(newton), P._dplans, P._extra_plan, P._aplans)
+
     def solve(self, b):
         """Fused on-device refinement solve; returns x (see
         apply_inverse for the host-loop variant with per-pass

@@ -164,3 +164,71 @@ def test_factor_sort_perm_bit_identical(eqn, levels, part, monkeypatch):
                     jax.tree.leaves(outs["sort"][0])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
     np.testing.assert_array_equal(outs["gather"][1], outs["sort"][1])
+
+
+def test_warm_recompute_matches_fresh():
+    """Preconditioner.recompute: the Newton-Schulz warm refactorization
+    (dense.warm_inv) must match a cold compute() of the same matrix to
+    solver precision for modest value changes, and fall back bit-
+    identically to the cold factorization when the previous inverse no
+    longer contracts (the residual-gated lax.cond branch).  This is the
+    TPU-native fast path for the reference's SetMatrix-then-Compute
+    reuse in Newton/continuation loops
+    (src/HYMLS_Preconditioner.cpp:400-517)."""
+    params = _params("Stokes-C", 16, 2, tol=1e-8)
+    params.sublist("Preconditioner")["Partitioner"] = "Skew Cartesian"
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv).compute()
+    b = np.random.default_rng(3).standard_normal(K.shape[0])
+    rng = np.random.default_rng(4)
+
+    # modest perturbation: warm path, accuracy at the f64 Newton floor
+    K2 = K.copy()
+    K2.data = K.data * (1.0 + 1e-4 * rng.standard_normal(K.nnz))
+    x2_fresh = np.asarray(
+        Preconditioner(K2, params, testvector=tv).compute()
+        .apply_inverse(b))
+    P.recompute(K2)
+    x2_warm = np.asarray(P.apply_inverse(b))
+    rel = np.abs(x2_warm - x2_fresh).max() / np.abs(x2_fresh).max()
+    assert rel < 1e-9, rel
+
+    # large jump: per-inverse fallback reproduces the cold factors
+    K3 = K.copy()
+    K3.data = K.data * (1.0 + 0.9 * rng.standard_normal(K.nnz))
+    x3_fresh = np.asarray(
+        Preconditioner(K3, params, testvector=tv).compute()
+        .apply_inverse(b))
+    P.recompute(K3)
+    x3_warm = np.asarray(P.apply_inverse(b))
+    rel3 = np.abs(x3_warm - x3_fresh).max() / np.abs(x3_fresh).max()
+    assert rel3 < 1e-9, rel3
+
+
+def test_warm_newton_step_converges():
+    """IterativeRefinementSolver.newton_step_warm_fn threads factors
+    through a Newton sequence; every step must converge to the IR
+    tolerance while the dense inverses are warm-polished."""
+    import jax
+    import jax.numpy as jnp
+    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+
+    params = _params("Stokes-C", 16, 2, tol=1e-10, maxiter=200,
+                     lor="Right", initial="Zero")
+    params.sublist("Preconditioner")["Partitioner"] = "Skew Cartesian"
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    S = IterativeRefinementSolver(K, params, testvector=tv)
+    S.compute()
+    b = K @ np.random.default_rng(5).standard_normal(K.shape[0])
+    newton, dplans, extra, aplans = S.newton_step_warm_fn()
+    vals64 = S.op64.vals
+    vals32 = S.solver.op.vals
+    bj = jnp.asarray(b, jnp.float64)
+    factors = S.precond._factors
+    for i in range(3):
+        s = 1.0 + 1e-3 * i
+        res, factors = newton(vals64 * s, vals32 * np.float32(s),
+                              dplans, extra, aplans, bj, factors)
+        assert float(res.relres) <= 1e-10, (i, float(res.relres))

@@ -215,11 +215,11 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     S = IterativeRefinementSolver(K, params, testvector=tv)
     _progress(f"  setup n={K.shape[0]}: compute() ...")
     S.compute()
-    _progress("  compute() done; IR warm-up ...")
-
-    x = S.solve(b)                       # warm-up: compile + first solve
-    sync(x)
-    _progress("  IR warm-up done; newton_step compile ...")
+    # NOTE: no S.solve(b) warm-up here — it compiles a SEPARATE fused
+    # program (solvers/mixed.py:_fused_jit) that the newton-step timing
+    # below never reuses; through the remote-compile tunnel that wasted
+    # 60-120 s per case and starved the last (32^3) case's budget
+    _progress("  compute() done; newton_step compile ...")
 
     vals64 = S.op64.vals
     vals32 = S.solver.op.vals

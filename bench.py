@@ -132,10 +132,51 @@ def _cache_put(key, val):
         pass
 
 
-def _splu_baseline(K, b, reps=3, timebox=300.0):
-    """Serial CPU sparse-direct factor+solve of the same system
-    (SuperLU; the per-Newton-step work of a direct method).  Returns
+class _SpluHandle:
+    """In-flight SuperLU baseline; .result() joins (deadline-aware)."""
+
+    def __init__(self, key, proc, queue, t0, timebox_total):
+        self._key, self._p, self._q = key, proc, queue
+        self._t0, self._box = t0, timebox_total
+        self._done = None
+
+    def result(self):
+        if self._done is not None:
+            return self._done
+        remaining = max(self._box - (time.perf_counter() - self._t0), 0.0)
+        self._p.join(timeout=remaining)
+        if self._p.is_alive():
+            self._p.terminate()
+            self._p.join()
+            _progress(f"  splu baseline exceeded {self._box:.0f}s box "
+                      "-> reporting lower bound")
+            secs, relres, timed_out = self._box, None, True
+        else:
+            secs, relres = self._q.get()
+            timed_out = False
+        _cache_put(self._key, {"secs": secs, "relres": relres,
+                               "timed_out": timed_out})
+        self._done = (secs, relres, timed_out)
+        return self._done
+
+
+class _SpluHit:
+    def __init__(self, hit):
+        self._done = (hit["secs"], hit["relres"], hit["timed_out"])
+
+    def result(self):
+        return self._done
+
+
+def _splu_baseline_start(K, b, reps=3, timebox=300.0):
+    """Start the serial CPU SuperLU factor+solve baseline of the same
+    system in a subprocess and return a handle; call .result() for
     (seconds_per_factor_plus_solve, relres, timed_out).
+
+    Started EARLY (before the device setup/compile) so the baseline's
+    CPU time hides behind the remote-TPU compiles; callers must join
+    BEFORE any device timing so the host stays idle during
+    measurement (this box has one CPU core).
 
     Time-boxed: one 3D factorization at n>100k runs for tens of
     minutes serially — if the box is exceeded the baseline is reported
@@ -143,15 +184,13 @@ def _splu_baseline(K, b, reps=3, timebox=300.0):
 
     Measurements are cached on disk keyed by (n, nnz) — a same-host
     rerun (e.g. after warming the TPU compile cache) reuses them
-    instead of burning the case budget re-factoring, which matters
-    most for the time-boxed 3D case (300 s to learn 'did not
-    finish')."""
+    instead of burning the case budget re-factoring."""
     key = f"splu_n{K.shape[0]}_nnz{K.nnz}"
     hit = _cache_get(key)
     if hit is not None:
         _progress(f"  splu baseline cache hit: {hit['secs']:.4f}s"
                   f"{' (lower bound)' if hit['timed_out'] else ''}")
-        return hit["secs"], hit["relres"], hit["timed_out"]
+        return _SpluHit(hit)
     import multiprocessing as mp
     if K.shape[0] > 100_000:
         reps = 1
@@ -162,19 +201,7 @@ def _splu_baseline(K, b, reps=3, timebox=300.0):
     p = ctx.Process(target=_splu_worker, args=(K, b, reps, q))
     t0 = time.perf_counter()
     p.start()
-    p.join(timeout=timebox * reps)
-    if p.is_alive():
-        p.terminate()
-        p.join()
-        _progress(f"  splu baseline exceeded {timebox:.0f}s/rep box -> "
-                  "reporting lower bound")
-        secs, relres, timed_out = timebox, None, True
-    else:
-        secs, relres = q.get()
-        timed_out = False
-    _cache_put(key, {"secs": secs, "relres": relres,
-                     "timed_out": timed_out})
-    return secs, relres, timed_out
+    return _SpluHandle(key, p, q, t0, timebox * reps)
 
 
 def _stokes_params(nx, dim, levels, partitioner, sx=4,
@@ -211,6 +238,10 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     from hymls_tpu import Solver
     from hymls_tpu.solvers.mixed import IterativeRefinementSolver
 
+    # start the CPU baseline NOW — it hides behind the device
+    # setup/compiles below and is joined before any timing
+    baseline_h = _splu_baseline_start(K, b)
+
     tv = create_testvector(params, K)
     S = IterativeRefinementSolver(K, params, testvector=tv)
     _progress(f"  setup n={K.shape[0]}: compute() ...")
@@ -219,70 +250,52 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     # program (solvers/mixed.py:_fused_jit) that the newton-step timing
     # below never reuses; through the remote-compile tunnel that wasted
     # 60-120 s per case and starved the last (32^3) case's budget
-    _progress("  compute() done; newton_step compile ...")
+    _progress("  compute() done; timing-program compile ...")
 
     vals64 = S.op64.vals
     vals32 = S.solver.op.vals
     bj = jnp.asarray(b, jnp.float64)
-    newton, dplans, extra, aplans = S.newton_step_fn()
-    r = newton(vals64, vals32, dplans, extra, aplans, bj)   # compile
-    sync(r.x)
-    _progress(f"  newton_step compiled; timing {reps} fused reps ...")
-
-    # primary: device time per step — fori_loop over the step, delta
-    # timed so the fixed per-launch tunnel overhead cancels
+    newton_fn, dplans, extra, aplans = S.newton_step_fn()
     from jax import lax
 
-    def fused_steps(niter):
-        def fbody(i, acc):
-            s64 = 1.0 + 1e-6 * i.astype(jnp.float64)
-            rr = newton(vals64 * s64, vals32 * s64.astype(jnp.float32),
-                        dplans, extra, aplans, bj)
-            return acc + rr.x
-        return lax.fori_loop(0, niter, fbody, jnp.zeros_like(bj))
-
-    elapsed = None
-    timing = "fused fori_loop delta (niter=1 vs niter=reps+1)"
     # the fori_loop-fused program exceeds the remote-compile tunnel's
     # request-size limit on the largest cases (observed: HTTP 413 on
     # 32^3 skew L=2, n=131072, after ~15 min of host-side program
-    # serialization) — skip the attempt outright above 100k unknowns
-    if K.shape[0] > 100_000:
+    # serialization) — use the standalone newton program there
+    big = K.shape[0] > 100_000
+
+    def fused_steps(niter, s0):
+        # ONE compile covers compile-warm, delta timing AND the
+        # per-dispatch loop (niter is traced; s0 varies the matrix
+        # values per dispatch like a Newton sequence would)
+        def fbody(i, carry):
+            s64 = s0 + 1e-6 * i.astype(jnp.float64)
+            rr = newton_fn(vals64 * s64, vals32 * s64.astype(jnp.float32),
+                           dplans, extra, aplans, bj)
+            return rr.x, jnp.asarray(rr.iters, jnp.int64)
+        return lax.fori_loop(0, niter, fbody,
+                             (jnp.zeros_like(bj),
+                              jnp.zeros((), jnp.int64)))
+
+    elapsed = None
+    one = jnp.float64(1.0)
+    if big:
         timing = ("per-dispatch minus measured launch overhead "
                   "(fused program too large for the remote-compile "
                   "tunnel at this size)")
-        _progress("  n>100k: skipping fused timing (tunnel size limit);"
-                  " per-dispatch fallback ...")
-    else:
-      try:
-        fjit = jax.jit(fused_steps)
-        sync(fjit(1))                                 # compile
-        t = {}
-        for nit in (1, reps + 1):
-            t0 = time.perf_counter()
-            sync(fjit(nit))
-            t[nit] = time.perf_counter() - t0
-        elapsed = max((t[reps + 1] - t[1]) / reps, 1e-9)
-        _progress(f"  fused: {elapsed:.4f} s/step; dispatch timing ...")
-      except Exception as e:   # unexpected compile/runtime failure:
-        # fall back to per-dispatch timing minus empty-launch overhead
-        timing = (f"per-dispatch minus measured launch overhead "
-                  f"(fused program failed: {type(e).__name__})")
-        _progress(f"  fused timing unavailable ({type(e).__name__}); "
-                  "per-dispatch fallback ...")
-
-    # secondary: per-dispatch wall-clock (includes tunnel launches)
-    t0 = time.perf_counter()
-    last = None
-    for i in range(reps):
-        scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
-        r = newton(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
-                   dplans, extra, aplans, bj)
-        last = r.x
-    sync(last)
-    per_dispatch = (time.perf_counter() - t0) / reps
-
-    if elapsed is None:
+        r = newton_fn(vals64, vals32, dplans, extra, aplans, bj)
+        sync(r.x)                                     # compile
+        baseline = baseline_h.result()  # join BEFORE timing: 1-core host
+        _progress(f"  newton compiled; per-dispatch timing {reps} reps ...")
+        t0 = time.perf_counter()
+        last = None
+        for i in range(reps):
+            scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
+            r = newton_fn(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
+                          dplans, extra, aplans, bj)
+            last = r.x
+        sync(last)
+        per_dispatch = (time.perf_counter() - t0) / reps
         # measure the fixed per-launch tunnel overhead with a trivial
         # dispatch and subtract it from the per-dispatch wall-clock
         tiny = jax.jit(lambda s: s + 1.0)
@@ -295,13 +308,40 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         elapsed = max(per_dispatch - overhead, 1e-9)
         _progress(f"  per-dispatch {per_dispatch:.4f}s - launch "
                   f"overhead {overhead:.4f}s -> {elapsed:.4f} s/step")
+        xh = np.asarray(jax.device_get(last))
+        final_scale = 1.0 + 1e-6 * (reps - 1)
+        inner_iters = int(jax.device_get(r.iters))
+    else:
+        timing = "fused fori_loop delta (niter=1 vs niter=reps+1)"
+        fjit = jax.jit(fused_steps)
+        sync(fjit(1, one))                            # the ONE compile
+        baseline = baseline_h.result()  # join BEFORE timing: 1-core host
+        _progress(f"  compiled; timing {reps} fused reps ...")
+        t = {}
+        out = {}
+        for nit in (1, reps + 1):
+            t0 = time.perf_counter()
+            res = fjit(nit, one)
+            sync(res)
+            t[nit] = time.perf_counter() - t0
+            out[nit] = res
+        elapsed = max((t[reps + 1] - t[1]) / reps, 1e-9)
+        _progress(f"  fused: {elapsed:.4f} s/step; dispatch timing ...")
+        # secondary: per-dispatch wall-clock (includes tunnel launches)
+        t0 = time.perf_counter()
+        rs = [fjit(1, jnp.float64(1.0 + 1e-6 * i)) for i in range(reps)]
+        sync(rs[-1])
+        per_dispatch = (time.perf_counter() - t0) / reps
+        x_last, it_last = out[reps + 1]
+        xh = np.asarray(jax.device_get(x_last))
+        final_scale = 1.0 + 1e-6 * reps   # last fori index i = reps
+        inner_iters = int(jax.device_get(it_last))
 
-    xh = np.asarray(jax.device_get(last))
     Kp = K.copy()
-    Kp.data = Kp.data * (1.0 + 1e-6 * (reps - 1))
+    Kp.data = Kp.data * final_scale
     relres = float(np.linalg.norm(Kp @ xh - b) / np.linalg.norm(b))
 
-    base_secs, base_relres, base_timed_out = _splu_baseline(K, b)
+    base_secs, base_relres, base_timed_out = baseline
     baseline = {"method": "scipy SuperLU factor+solve (serial CPU)",
                 "seconds": round(base_secs, 5),
                 "relres": base_relres}
@@ -319,7 +359,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "timing": timing,
         "iters_f64": -1,
         "target_iters": target_iters,
-        "ir_inner_iters": int(jax.device_get(r.iters)),
+        "ir_inner_iters": inner_iters,
         "relres": relres,
     }
     if extra_fields:
@@ -483,13 +523,13 @@ def _run_case(name):
     raise ValueError(f"unknown case {name!r}")
 
 
-# headline first; the 3D skew case last — it is the most expensive
-# (15 s/step device time + a time-boxed CPU baseline) and the only one
-# with an observed TPU-worker-crash mode, so budget exhaustion or a
-# crash lands on it rather than starving the cheap cases
-CASE_ORDER = ["cavity64_Re1000", "stokes128_L2",
-              "structured_vs_generic_apply", "stokesB_64",
-              "stokes32cube_skew_L2"]
+# headline first, then the remaining CPU-baseline ratio cases in
+# ascending cost (three wall-clock-ratio metrics land before the
+# expensive ones), then the 3D skew case (most expensive + the only
+# observed TPU-worker-crash mode), then the device-internal apply-mode
+# comparison — budget exhaustion starves the bonus case, not a ratio
+CASE_ORDER = ["cavity64_Re1000", "stokesB_64", "stokes128_L2",
+              "stokes32cube_skew_L2", "structured_vs_generic_apply"]
 
 
 def main():

@@ -39,13 +39,22 @@ except Exception:  # pragma: no cover - environment without pallas
 _VMEM_X_BYTES = 6 * 1024 * 1024
 
 
-def _kernel(x_ref, bands_ref, y_ref, *, offsets, block, pad):
+def _kernel(x_ref, bands_ref, y_ref, *, offsets, block, pad_al):
+    # Mosaic requires lane-dimension slice starts to be provable
+    # 128-multiples: split each offset into an aligned window load
+    # plus a static sub-128 lane roll (off = 128*q + r, 0 <= r < 128)
     t = pl.program_id(0)
-    base = t * block + pad
-    acc = bands_ref[0:1, :] * x_ref[0:1, pl.ds(base + offsets[0], block)]
-    for j, off in enumerate(offsets[1:], start=1):
-        acc = acc + bands_ref[j:j + 1, :] * x_ref[0:1,
-                                                  pl.ds(base + off, block)]
+    acc = None
+    for j, off in enumerate(offsets):
+        q, r = divmod(off, 128)
+        start = pl.multiple_of(t * block + pad_al + 128 * q, 128)
+        w = x_ref[0:1, pl.ds(start, block + 128)]
+        if r:
+            # want out[i] = w[i + r]; pltpu.roll requires shift >= 0,
+            # so roll by width - r (cyclic equivalence)
+            w = pltpu.roll(w, shift=block + 128 - r, axis=1)
+        term = bands_ref[j:j + 1, :] * w[:, :block]
+        acc = term if acc is None else acc + term
     y_ref[...] = acc
 
 
@@ -66,7 +75,11 @@ class PallasDiaMatvec:
             raise ValueError("empty offset set")
         self.offsets = tuple(offsets)
         self.n = int(n)
-        self.pad = max(max(abs(o) for o in offsets), 1)
+        pad = max(max(abs(o) for o in offsets), 1)
+        # aligned halo: covers the largest |offset| rounded up to the
+        # 128-lane boundary, plus one extra 128 so every window load
+        # (block + 128 wide) stays inside x_pad
+        self.pad_al = 128 * (pad // 128 + 2)
         # lane-aligned tile; a tiny problem gets one whole-array tile
         block = min(block, -(-self.n // 256) * 256)
         self.block = block
@@ -74,7 +87,7 @@ class PallasDiaMatvec:
         self.n_r = self.grid * block
         self._call = pl.pallas_call(
             functools.partial(_kernel, offsets=self.offsets,
-                              block=block, pad=self.pad),
+                              block=block, pad_al=self.pad_al),
             out_shape=jax.ShapeDtypeStruct((1, self.n_r), jnp.float32),
             grid=(self.grid,),
             in_specs=[
@@ -92,13 +105,14 @@ class PallasDiaMatvec:
         """Whole padded x must be VMEM-resident for the fused sweep."""
         pad = int(max((abs(int(o)) for o in np.asarray(offsets).tolist()),
                       default=1))
-        return HAVE_PALLAS and (n + 2 * pad + 2048) * 4 <= _VMEM_X_BYTES
+        pad_al = 128 * (pad // 128 + 2)
+        return HAVE_PALLAS and (n + 2 * pad_al + 2048) * 4 <= _VMEM_X_BYTES
 
     def __call__(self, bands, x):
         bands = jnp.asarray(bands, jnp.float32)
         x = jnp.asarray(x, jnp.float32)
         k = len(self.offsets)
         bands_r = jnp.pad(bands, ((0, 0), (0, self.n_r - self.n)))
-        x_pad = jnp.pad(x, (self.pad, self.pad + self.n_r - self.n))
+        x_pad = jnp.pad(x, (self.pad_al, self.pad_al + self.n_r - self.n))
         y = self._call(x_pad[None, :], bands_r)
         return y[0, :self.n]

@@ -526,27 +526,10 @@ class HaloApply:
         self.dplans[-1]["own_g_idx"] = jnp.asarray(coarse["own_g_idx"],
                                                    jnp.int32)
 
-        # stacked sharded factors; per-subdomain arrays are zero-padded
-        # to ndev*B when a coarse level deactivates trailing shards
-        # (padded subdomains then compute exact zeros)
-        def _stack_sd(a, B):
-            pad = ndev * B - a.shape[0]
-            if pad:
-                a = jnp.concatenate(
-                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-            return a.reshape((ndev, B) + a.shape[1:])
-
-        factors = precond._prune_factors(precond.factors)
-        self.factors = {"levels": [], "coarse": factors["coarse"]}
-        for l, fac in enumerate(factors["levels"]):
-            B = meta[l]["B"]
-            bsel = meta[l]["blk_sel"]
-            self.factors["levels"].append({
-                "A11inv": _stack_sd(fac["A11inv"], B),
-                "G": _stack_sd(fac["G"], B),
-                "A21": _stack_sd(fac["A21"], B),
-                "blkinv": fac["blkinv"][jnp.asarray(bsel)],
-            })
+        # per-level block-selection indices for factor stacking
+        self._bsel = [jnp.asarray(m["blk_sel"], jnp.int32) for m in meta]
+        self.factors = self.stack_factors(
+            precond._prune_factors(precond.factors))
 
         axis = self.axis
         max_level = precond.max_level
@@ -620,13 +603,24 @@ class HaloApply:
 
             return _cat0(x1, x2)[dp["node_src_loc"]]
 
-        def local_fn(factors, dplans, b_st):
+        def _strip(factors, dplans):
             facs = {"levels": [
                 jax.tree.map(lambda a: a[0], f)
                 for f in factors["levels"]],
                 "coarse": factors["coarse"]}
             dps = [jax.tree.map(lambda a: a[0], d) for d in dplans]
+            return facs, dps
+
+        def local_fn(factors, dplans, b_st):
+            facs, dps = _strip(factors, dplans)
             return level_fn(0, b_st[0], facs, dps)[None]
+
+        def local_fn_flat(factors, dplans, b_l):
+            # flat (ndev*max_onod0,) vectors: each shard's slice is its
+            # owner-local vector directly — the layout the distributed
+            # Krylov loop (parallel/dist.py) iterates in
+            facs, dps = _strip(factors, dplans)
+            return level_fn(0, b_l, facs, dps)
 
         fspec = {"levels": [jax.tree.map(lambda _: P(axis), f)
                             for f in self.factors["levels"]],
@@ -634,11 +628,60 @@ class HaloApply:
                                         self.factors["coarse"])}
         pspec = [jax.tree.map(lambda _: P(axis), d)
                  for d in self.dplans]
+        self._fspec, self._pspec = fspec, pspec
         self._fn = jax.jit(jax.shard_map(
             local_fn, mesh=mesh, in_specs=(fspec, pspec, P(axis)),
             out_specs=P(axis), check_vma=False))
+        # raw shard_map callable (not jitted): composes inside a caller
+        # jit such as the distributed GMRES loop
+        self.prec_sm_flat = jax.shard_map(
+            local_fn_flat, mesh=mesh, in_specs=(fspec, pspec, P(axis)),
+            out_specs=P(axis), check_vma=False)
         self._scatter = jnp.asarray(bmaps["scatter_idx"], jnp.int32)
         self._gather = jnp.asarray(bmaps["gather_idx"], jnp.int32)
+
+    def stack_factors(self, factors):
+        """Stack pruned generic factors into the sharded (ndev, B, ...)
+        halo layout.  Pure jnp (reshape/pad/static-gather), so it can
+        run inside a caller's jit; per-subdomain arrays are zero-padded
+        to ndev*B when a coarse level deactivates trailing shards
+        (padded subdomains then compute exact zeros)."""
+        ndev = self.mesh.size
+
+        def _stack_sd(a, B):
+            pad = ndev * B - a.shape[0]
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            return a.reshape((ndev, B) + a.shape[1:])
+
+        out = {"levels": [], "coarse": factors["coarse"]}
+        for l, fac in enumerate(factors["levels"]):
+            B = self.meta[l]["B"]
+            blkinv = fac["blkinv"]
+            if blkinv.shape[0] == 0:
+                # a level with no non-Vsum blocks (e.g. 3D/skew coarse
+                # levels where every separator is a Vsum): the apply
+                # reads only sentinel slots, so zero blocks suffice
+                bsel = self._bsel[l]
+                blkinv = jnp.zeros(bsel.shape + blkinv.shape[1:],
+                                   blkinv.dtype)
+            else:
+                blkinv = blkinv[self._bsel[l]]
+            out["levels"].append({
+                "A11inv": _stack_sd(fac["A11inv"], B),
+                "G": _stack_sd(fac["G"], B),
+                "A21": _stack_sd(fac["A21"], B),
+                "blkinv": blkinv,
+            })
+        return out
+
+    def refresh_factors(self, precond):
+        """Restack after a precond.compute()/recompute() (Newton-step
+        value refresh; same plans/pattern)."""
+        self.factors = self.stack_factors(
+            precond._prune_factors(precond.factors))
+        return self
 
     def place(self):
         """Device-put factors/plans with their shard_map shardings."""

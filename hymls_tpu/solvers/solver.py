@@ -41,6 +41,13 @@ class Solver:
         self.tol = it.get("Convergence Tolerance", 1e-6)
         # Belos 'Num Blocks': GMRES basis size (restart length)
         self.restart = it.get("Num Blocks", None)
+        # 'Distributed Apply': run the whole Krylov iteration in the
+        # owner-sharded halo layout over the active mesh (ppermute-only
+        # level traffic — the production multichip path, reference
+        # src/HYMLS_Preconditioner.cpp:973-1052).  Falls back to the
+        # replicated apply when the structure is unshardable.
+        self.distributed = slist.get("Distributed Apply", False)
+        self._dist = None
         self._num_iter = 0
         self._solve_jit = None
         self._solve_proj_jit = None
@@ -138,6 +145,33 @@ class Solver:
             self._solve_jit = jax.jit(solve)
             return
 
+        if self.distributed:
+            dist = self._make_dist()
+            if dist is not None:
+                def solve(vals, factors, dplans, b, x0):
+                    pv = dist.prepare(vals)
+                    fac_st = dist.stack_factors(factors)
+                    b_st = dist.scatter(b)
+                    x0_st = dist.scatter(x0)
+
+                    def op(x):
+                        return dist.matvec(pv, x)
+
+                    def prec(x):
+                        return dist.precond(fac_st, dplans, x)
+
+                    if method == "CG":
+                        res = krylov.cg(op, b_st, x0_st, prec, tol=tol,
+                                        maxiter=maxiter)
+                    else:
+                        res = krylov.gmres(op, b_st, x0_st, prec,
+                                           tol=tol, maxiter=maxiter,
+                                           left=left, restart=restart)
+                    return res._replace(x=dist.gather(res.x))
+
+                self._solve_jit = jax.jit(solve)
+                return
+
         apply_fn, _, _ = self.precond.apply_inverse_fn()
         prepare = self.op.prepare
 
@@ -156,6 +190,36 @@ class Solver:
                                 left=left, restart=restart)
 
         self._solve_jit = jax.jit(solve)
+
+    def _make_dist(self):
+        """Build (once) the owner-sharded distributed operator/apply
+        pair over the active mesh; returns None (with a warning) when
+        no mesh is active or the structure is unshardable."""
+        import warnings
+        from ..parallel.mesh import get_mesh
+        from ..parallel.dist import make_distributed_solve
+        from ..parallel.halo_vcycle import UnshardableError
+
+        if self._dist is not None:
+            return self._dist
+        mesh = get_mesh()
+        if mesh is None or mesh.size < 2:
+            warnings.warn("'Distributed Apply' requested but no device "
+                          "mesh is active (parallel.set_mesh); using the "
+                          "replicated apply")
+            self.distributed = False
+            return None
+        if self.precond._factors is None:
+            self.precond.compute()
+        try:
+            self._dist = make_distributed_solve(self._K, self.precond,
+                                                mesh)
+        except UnshardableError as e:
+            warnings.warn(f"'Distributed Apply' unavailable ({e}); "
+                          "using the replicated apply")
+            self.distributed = False
+            return None
+        return self._dist
 
     def setup_deflation(self):
         """Compute the deflation space and correction system (reference
@@ -324,14 +388,21 @@ class Solver:
                 x0 = self._prev_x.astype(self.dtype)
             else:
                 x0 = jnp.zeros_like(b)
-        factors = self.precond.apply_factors
         if self._border is not None:
+            factors = self.precond.apply_factors
             if t is None:
                 t = jnp.zeros((self._border[0].shape[1],), dtype=self.dtype)
             res = self._solve_jit(self.op.vals, factors,
                                   self.precond._aplans, self._border, b,
                                   jnp.asarray(t, self.dtype), x0)
+        elif self.distributed and self._dist is not None:
+            # generic (unrepacked) factors: the distributed program
+            # stacks them into the sharded halo layout itself
+            factors = self.precond._prune_factors(self.precond.factors)
+            res = self._solve_jit(self.op.vals, factors,
+                                  self._dist.dplans, b, x0)
         else:
+            factors = self.precond.apply_factors
             res = self._solve_jit(self.op.vals, factors,
                                   self.precond._aplans, b, x0)
         self._last_result = res   # iteration count read lazily: a device

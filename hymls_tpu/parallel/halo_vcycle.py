@@ -340,6 +340,12 @@ def build_halo_plans(precond, ndev: int):
               "y2_offsets": ex_y2.offsets, "y2_rtab": rtab,
               "blk_sel": None}
         lm["blk_sel"] = bsel
+        # owned-sep slot -> global sep id (sentinel n_sep = zero row);
+        # used to stack the bordered bW factor into the owner layout
+        bwsel = np.full((ndev, max_osep), n_sep, dtype=np.int64)
+        for s in range(ndev):
+            bwsel[s, :len(own_seps[s])] = own_seps[s]
+        lm["bw_sel"] = bwsel
 
         # --- next-level routing (down) + reverse (up) -------------------
         if l + 1 < max_level:
@@ -603,6 +609,77 @@ class HaloApply:
 
             return _cat0(x1, x2)[dp["node_src_loc"]]
 
+        n_coarse = self._coarse_src.shape[0]
+
+        def level_fn_b(lev, b_loc, T, factors, dplans):
+            """Bordered V-cycle level (reference bordered ApplyInverse,
+            HYMLS_SchurPreconditioner.cpp:1517-1619): the border tail T
+            (m,) is replicated; its per-level reductions q = T - W1'x1
+            and the non-Vsum correction bW'y are shard-partial sums
+            combined in ONE psum of an m-vector per level (the
+            reference's SumAll of border coefficients,
+            HYMLS_CoarseSolver.cpp:454-564).  Returns (x_loc, S)."""
+            lm = metas[lev]
+            dp = dplans[lev]
+            fac = factors["levels"][lev]
+            bb = fac["border"]
+
+            in_ext = _cat0(b_loc)
+            b1 = in_ext[dp["int_pos_loc"]]
+            x1 = jnp.einsum("smn,sn->sm", fac["A11inv"], b1)
+            y2c = jnp.einsum("smn,sn->sm", fac["A21"], x1)
+            y2c_ext = _cat0(y2c)
+            recvs = exchange(y2c_ext, dp, "y2", lm["y2_offsets"])
+            cat = _cat0(y2c, *recvs) if recvs else _cat0(y2c)
+            y2 = jnp.sum(cat[dp["sep_gather"]], axis=1)
+
+            b2 = in_ext[dp["own_sep_in_loc"]]
+            r2 = b2 - y2
+            t = _ot_local(r2, dp)
+
+            t_ext = _cat0(t)
+            tb = t_ext[dp["blk_pos_loc"]]
+            yb = jnp.einsum("smn,sn->sm", fac["blkinv"], tb)
+            y_blk = _cat0(yb)[dp["blk_inv_idx_loc"]]
+
+            # border tail: Tc = T - sum(W1'x1) - sum(bW'y_blk), one psum
+            q_part = jnp.einsum("sim,si->m", bb["W1"], x1)
+            c_part = jnp.einsum("pm,p->m", bb["bW"], y_blk)
+            Tc = T - jax.lax.psum(q_part + c_part, axis)
+
+            t_vs = t_ext[dp["vsum_pos_loc"]]
+            if lev + 1 == max_level:
+                allv = jax.lax.all_gather(t_vs, axis, tiled=True)
+                rhs = _cat0(allv)[coarse_src]
+                sol = _dense_solve(factors["coarse"],
+                                   jnp.concatenate([rhs, Tc]))
+                xc, S = sol[:n_coarse], sol[n_coarse:]
+                y_vs = _cat0(xc)[dp["own_g_idx"]]
+            else:
+                tve = _cat0(t_vs)
+                nrecv = exchange(tve, dp, "nx", lm["nx_offsets"])
+                ncat = _cat0(t_vs, *nrecv) if nrecv else tve
+                b_next = ncat[dp["next_in_gather"]]
+                x_next, S = level_fn_b(lev + 1, b_next, Tc,
+                                       factors, dplans)
+                xne = _cat0(x_next)
+                urecv = exchange(xne, dp, "up", lm["up_offsets"])
+                ucat = _cat0(x_next, *urecv) if urecv else xne
+                y_vs = ucat[dp["up_gather"]]
+
+            y = jnp.where(dp["own_vsum_slot"] < lm["max_ovs"],
+                          _cat0(y_vs)[dp["own_vsum_slot"]], y_blk)
+            x2 = _ot_local(y, dp)
+
+            x2_ext = _cat0(x2)
+            xrecv = exchange(x2_ext, dp, "x2", lm["x2_offsets"])
+            xcat = _cat0(x2, *xrecv) if xrecv else x2_ext
+            x2sd = xcat[dp["sd_sep_loc"]]
+            x1 = x1 - jnp.einsum("smn,sn->sm", fac["G"], x2sd) \
+                - jnp.einsum("sim,m->si", bb["Q1"], S)
+
+            return _cat0(x1, x2)[dp["node_src_loc"]], S
+
         def _strip(factors, dplans):
             facs = {"levels": [
                 jax.tree.map(lambda a: a[0], f)
@@ -637,6 +714,26 @@ class HaloApply:
         self.prec_sm_flat = jax.shard_map(
             local_fn_flat, mesh=mesh, in_specs=(fspec, pspec, P(axis)),
             out_specs=P(axis), check_vma=False)
+
+        self._fn_b = None
+        if "border" in self.factors["levels"][0]:
+            def local_fn_b(factors, dplans, b_st, T):
+                facs, dps = _strip(factors, dplans)
+                x, S = level_fn_b(0, b_st[0], T, facs, dps)
+                return x[None], S
+
+            def local_fn_b_flat(factors, dplans, b_l, T):
+                facs, dps = _strip(factors, dplans)
+                return level_fn_b(0, b_l, T, facs, dps)
+
+            self._fn_b = jax.jit(jax.shard_map(
+                local_fn_b, mesh=mesh,
+                in_specs=(fspec, pspec, P(axis), P()),
+                out_specs=(P(axis), P()), check_vma=False))
+            self.prec_sm_flat_b = jax.shard_map(
+                local_fn_b_flat, mesh=mesh,
+                in_specs=(fspec, pspec, P(axis), P()),
+                out_specs=(P(axis), P()), check_vma=False)
         self._scatter = jnp.asarray(bmaps["scatter_idx"], jnp.int32)
         self._gather = jnp.asarray(bmaps["gather_idx"], jnp.int32)
 
@@ -668,12 +765,27 @@ class HaloApply:
                                    blkinv.dtype)
             else:
                 blkinv = blkinv[self._bsel[l]]
-            out["levels"].append({
+            lev = {
                 "A11inv": _stack_sd(fac["A11inv"], B),
                 "G": _stack_sd(fac["G"], B),
                 "A21": _stack_sd(fac["A21"], B),
                 "blkinv": blkinv,
-            })
+            }
+            if "border" in fac:
+                # bordered factors (reference ComputeBorder products):
+                # Q1/W1 per-subdomain like A11inv; bW owner-sharded over
+                # owned separators (zero row at the sentinel slot)
+                bb = fac["border"]
+                bW = bb["bW"]
+                bW_ext = jnp.concatenate(
+                    [bW, jnp.zeros((1, bW.shape[1]), bW.dtype)])
+                lev["border"] = {
+                    "Q1": _stack_sd(bb["Q1"], B),
+                    "W1": _stack_sd(bb["W1"], B),
+                    "bW": bW_ext[jnp.asarray(self.meta[l]["bw_sel"],
+                                             jnp.int32)],
+                }
+            out["levels"].append(lev)
         return out
 
     def refresh_factors(self, precond):
@@ -710,6 +822,16 @@ class HaloApply:
 
     def __call__(self, b):
         return self.to_global(self.apply_local(self.to_local(b)))
+
+    def apply_bordered(self, b, t):
+        """Bordered apply [x; s] = M^{-1} [b; t] through the halo path
+        (requires the preconditioner to have been computed with a
+        border).  Returns (x_global, s)."""
+        if self._fn_b is None:
+            raise ValueError("preconditioner factors carry no border")
+        x_st, S = self._fn_b(self.factors, self.dplans,
+                             self.to_local(b), jnp.asarray(t))
+        return self.to_global(x_st), S
 
 
 def make_halo_apply(precond, mesh: Mesh) -> HaloApply:

@@ -102,3 +102,93 @@ def test_halo_communication_volume():
         assert sent < n_owned, (
             f"level exchange volume {sent} not below owned nodes "
             f"{n_owned}")
+
+
+# ---------------------------------------------------------------------------
+# breadth: {Cartesian, Skew} x {Laplace, Stokes} x {2D, 3D} x L in {1,2}
+# (reference gate: the full unit suite at 1..8 ranks,
+#  testSuite/unit_tests/CMakeLists.txt:36-48)
+# ---------------------------------------------------------------------------
+
+def _build_any(eq, dim, part, nx, levels, dof=None, sx=4):
+    prob = {"Equations": eq, "Dimension": dim, "nx": nx, "ny": nx}
+    if dim == 3:
+        prob["nz"] = nx
+    if dof:
+        prob["Degrees of Freedom"] = dof
+    params = Params({
+        "Problem": prob,
+        "Preconditioner": {"Partitioner": part, "Separator Length": sx,
+                           "Number of Levels": levels,
+                           "Structured Apply": False},
+    })
+    K = create_matrix(params)
+    P = Preconditioner(K, params,
+                       testvector=create_testvector(params, K)).compute()
+    return K, P
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("eq,dim,part,nx,levels,dof", [
+    ("Laplace", 3, "Cartesian", 16, 1, None),
+    ("Laplace", 3, "Cartesian", 16, 2, None),
+    ("Stokes-C", 3, "Cartesian", 16, 1, 4),
+    ("Stokes-C", 3, "Cartesian", 16, 2, 4),
+    ("Laplace", 2, "Skew Cartesian", 32, 1, None),
+    ("Laplace", 2, "Skew Cartesian", 32, 2, None),
+    ("Stokes-C", 2, "Skew Cartesian", 32, 2, 3),
+    ("Darcy", 2, "Skew Cartesian", 32, 2, 3),
+    ("Laplace", 3, "Skew Cartesian", 16, 1, None),
+    ("Stokes-C", 3, "Skew Cartesian", 16, 2, 4),
+])
+def test_halo_vcycle_breadth(eq, dim, part, nx, levels, dof):
+    """Distributed halo apply == serial apply across partitioners,
+    equations, dimensions, and level counts (bit-exact: the exchange
+    preserves the serial summation order)."""
+    K, P = _build_any(eq, dim, part, nx, levels, dof)
+    mesh = make_mesh(8)
+    app = make_halo_apply(P, mesh).place()
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(K.shape[0]))
+    x_serial = np.asarray(P.apply_inverse(b))
+    x_halo = np.asarray(app(b))
+    scale = max(np.abs(x_serial).max(), 1e-300)
+    assert np.abs(x_serial - x_halo).max() / scale < 1e-13, \
+        f"rel diff {np.abs(x_serial - x_halo).max() / scale}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_halo_vcycle_bordered():
+    """Bordered halo apply [x;s] = M^{-1}[b;t] == serial bordered apply
+    (border reductions ride one psum per level; reference bordered
+    ApplyInverse, src/HYMLS_SchurPreconditioner.cpp:1517-1619)."""
+    from hymls_tpu.stencils import laplace2d_neumann, create_nullspace
+    nx = 32
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Driver": {"Null Space Type": "Constant"},
+        "Preconditioner": {"Separator Length": 4, "Number of Levels": 2,
+                           "Structured Apply": False},
+    })
+    K = laplace2d_neumann(nx, nx)
+    tv = create_testvector(params, K)
+    ns = create_nullspace(params, K.shape[0])
+    P = Preconditioner(K, params, testvector=tv)
+    P.set_border(jnp.asarray(ns))
+    P.compute()
+
+    mesh = make_mesh(8)
+    app = make_halo_apply(P, mesh).place()
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal(K.shape[0]))
+    t = jnp.asarray(rng.standard_normal(ns.shape[1]))
+
+    x_ref, s_ref = P._apply_bordered_jit(
+        P._prune_factors(P.factors), P._aplans, b, t)
+    x_h, s_h = app.apply_bordered(b, t)
+    x_ref, s_ref = np.asarray(x_ref), np.asarray(s_ref)
+    x_h, s_h = np.asarray(x_h), np.asarray(s_h)
+    scale = max(np.abs(x_ref).max(), 1e-300)
+    assert np.abs(x_ref - x_h).max() / scale < 1e-12
+    assert np.abs(s_ref - s_h).max() < 1e-12 * max(np.abs(s_ref).max(), 1)

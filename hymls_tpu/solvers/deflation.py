@@ -20,7 +20,9 @@ from typing import Callable, Optional
 import numpy as np
 import scipy.sparse.linalg as spla
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 class Deflation:
@@ -65,17 +67,83 @@ def compute_deflation_space(apply_prec: Callable, n: int, num_eigs: int,
     return Q[:, :num_eigs]
 
 
+def compute_deflation_space_device(apply_col: Callable, n: int,
+                                   num_eigs: int, dtype,
+                                   iters: int = 60, oversample: int = 6,
+                                   seed: int = 12345) -> np.ndarray:
+    """Dominant eigenspace of P^{-1}(M) by blocked subspace iteration
+    with a Rayleigh-Ritz extraction — the whole Arnoldi-style loop is
+    ONE compiled program (vmapped V-cycle applies inside lax.fori_loop)
+    instead of the reference's host-driven Anasazi loop; per-matvec
+    host round trips are pathological over a remote-TPU tunnel.
+
+    `apply_col` must be a pure jax (n,) -> (n,) function (the
+    preconditioner apply, optionally pre-composed with the mass op)."""
+    kp = int(min(num_eigs + oversample, max(n - 2, 1)))
+    rng = np.random.default_rng(seed)
+    Q0 = np.linalg.qr(rng.standard_normal((n, kp)))[0]
+
+    apply_block = jax.vmap(apply_col, in_axes=1, out_axes=1)
+
+    @jax.jit
+    def run(Q):
+        def body(_, Q):
+            Z = apply_block(Q)
+            Qn, _r = jnp.linalg.qr(Z)
+            return Qn
+
+        Q = lax.fori_loop(0, iters, body, Q)
+        Z = apply_block(Q)
+        H = Q.T @ Z                      # Rayleigh-Ritz (nonsymmetric)
+        return Q, H
+
+    Q, H = run(jnp.asarray(Q0, dtype))
+    Q, H = np.asarray(Q, np.float64), np.asarray(H, np.float64)
+    vals, vecs = np.linalg.eig(H)
+    order = np.argsort(-np.abs(vals), kind="stable")
+    vecs = vecs[:, order]
+    # real basis from (possibly complex-pair) Ritz vectors, same
+    # realification as the ARPACK path above
+    cols = []
+    for j in range(vecs.shape[1]):
+        cols.append(np.real(vecs[:, j]))
+        if np.any(np.imag(vecs[:, j]) != 0):
+            cols.append(np.imag(vecs[:, j]))
+    Vr = Q @ np.column_stack(cols)
+    Qf, _ = np.linalg.qr(Vr)
+    return Qf[:, :num_eigs]
+
+
 def setup_deflation(V: np.ndarray, matvec: Callable, matvec_t: Callable,
-                    projected_solve: Callable) -> Deflation:
+                    projected_solve: Callable,
+                    multi_solve: Optional[Callable] = None) -> Deflation:
     """Build the correction system (reference SetupDeflation):
-      AV = K V;  R = solve((I-VV')AV);  D = V'AV - (K'V)' R."""
+      AV = K V;  R = solve((I-VV')AV);  D = V'AV - (K'V)' R.
+
+    `matvec`/`matvec_t` may accept a 2-D block (host scipy K @ V costs
+    nothing); `multi_solve`, when given, solves all k projected columns
+    in ONE batched program (PAV (n, k) -> R (n, k)) instead of k
+    host-dispatched solves."""
     n, k = V.shape
-    AV = np.column_stack([np.asarray(matvec(V[:, j])) for j in range(k)])
-    # orthogonal part of AV, solved column by column
+    try:
+        AV = np.asarray(matvec(V))
+        assert AV.shape == (n, k)
+    except Exception:
+        AV = np.column_stack([np.asarray(matvec(V[:, j]))
+                              for j in range(k)])
+    # orthogonal part of AV, solved as one multi-RHS program
     PAV = AV - V @ (V.T @ AV)
-    R = np.column_stack([np.asarray(projected_solve(PAV[:, j]))
-                         for j in range(k)])
-    ATV = np.column_stack([np.asarray(matvec_t(V[:, j])) for j in range(k)])
+    if multi_solve is not None:
+        R = np.asarray(multi_solve(PAV))
+    else:
+        R = np.column_stack([np.asarray(projected_solve(PAV[:, j]))
+                             for j in range(k)])
+    try:
+        ATV = np.asarray(matvec_t(V))
+        assert ATV.shape == (n, k)
+    except Exception:
+        ATV = np.column_stack([np.asarray(matvec_t(V[:, j]))
+                               for j in range(k)])
     D = V.T @ AV - ATV.T @ R
     return Deflation(V=V, AV=AV, ATV=ATV, R=R, D=D)
 

@@ -239,56 +239,58 @@ class Solver:
         m = self._border[0].shape[1] if self._border is not None else 0
         n_aug = n + m
 
+        # host-side K/K' block products (scipy, free of device round
+        # trips); columns or (n, k) blocks both work
+        Knp = self._K.tocsr()
         if self._border is None:
-            def prec_np(z):
-                return np.asarray(self.precond.apply_inverse(z))
-
             def mv(z):
-                return np.asarray(self.op(jnp.asarray(z, self.dtype)))
+                return Knp @ np.asarray(z)
 
             def mvT(z):
-                return np.asarray(self._opT(jnp.asarray(z, self.dtype)))
+                return Knp.T @ np.asarray(z)
         else:
-            V_b, W_b, C_b = self._border
-
-            def prec_np(z):
-                x, sb = self.precond.apply_inverse_bordered(z[:n], z[n:])
-                return np.concatenate([np.asarray(x), np.asarray(sb)])
+            V_b, W_b, C_b = (np.asarray(a) for a in self._border)
 
             def mv(z):
-                zx = jnp.asarray(z[:n], self.dtype)
-                zs = jnp.asarray(z[n:], self.dtype)
-                y = self.op(zx) + V_b @ zs
+                z = np.asarray(z)
+                zx, zs = z[:n], z[n:]
+                y = Knp @ zx + V_b @ zs
                 t = W_b.T @ zx + C_b @ zs
-                return np.concatenate([np.asarray(y), np.asarray(t)])
+                return np.concatenate([y, t])
 
             def mvT(z):
-                zx = jnp.asarray(z[:n], self.dtype)
-                zs = jnp.asarray(z[n:], self.dtype)
-                y = self._opT(zx) + W_b @ zs
+                z = np.asarray(z)
+                zx, zs = z[:n], z[n:]
+                y = Knp.T @ zx + W_b @ zs
                 t = V_b.T @ zx + C_b.T @ zs
-                return np.concatenate([np.asarray(y), np.asarray(t)])
+                return np.concatenate([y, t])
 
-        apply_mass = None
+        # pure apply column for the ONE-program subspace iteration
+        # (VERDICT r2: the ARPACK loop round-tripped per matvec)
+        apply_fn, factors, dplans = self.precond.apply_inverse_fn()
+        Mop = None
         if self._mass is not None:
-            M = self._mass
+            Mop = make_operator(self._mass.tocsr(), dtype=self.dtype)
 
-            if m == 0:
-                def apply_mass(z):
-                    return M @ z
-            else:
-                # augmented system: mass acts on the x-part, identity
-                # on the border tail
-                def apply_mass(z):
-                    return np.concatenate([M @ z[:n], z[n:]])
+        if self._border is None:
+            def apply_col(z):
+                if Mop is not None:
+                    z = Mop(z)
+                return apply_fn(factors, dplans, z)
+        else:
+            bord_fn = self.precond._apply_bordered_pure
 
-        V = _defl.compute_deflation_space(prec_np, n_aug, k,
-                                          apply_mass=apply_mass)
+            def apply_col(z):
+                zx, zs = z[:n], z[n:]
+                if Mop is not None:
+                    zx = Mop(zx)
+                x, sb = bord_fn(factors, dplans, zx, zs)
+                return jnp.concatenate([x, sb])
+
+        V = _defl.compute_deflation_space_device(apply_col, n_aug, k,
+                                                 self.dtype)
         Vj = jnp.asarray(V, self.dtype)
         self._build_proj_solve(aug=self._border is not None)
-
-        factors = self.precond.apply_factors
-        dplans = self.precond._aplans
 
         def proj_solve(r):
             args = [self.op.vals, factors, dplans, Vj,
@@ -299,7 +301,18 @@ class Solver:
             self._last_res = res
             return res.x
 
-        self._deflation = _defl.setup_deflation(V, mv, mvT, proj_solve)
+        def multi_solve(Rhs):
+            """All k projected columns in one batched program."""
+            args = [self.op.vals, factors, dplans, Vj,
+                    jnp.asarray(Rhs.T, self.dtype)]
+            if self._border is not None:
+                args.insert(3, self._border)
+            res = self._solve_proj_multi_jit(*args)
+            self._last_res = jax.tree.map(lambda a: a[-1], res)
+            return np.asarray(res.x).T
+
+        self._deflation = _defl.setup_deflation(V, mv, mvT, proj_solve,
+                                                multi_solve=multi_solve)
         self._proj_solve = proj_solve
         self._defl_aug = self._border is not None
         return self
@@ -328,6 +341,10 @@ class Solver:
                                     tol=tol, maxiter=maxiter, left=left)
 
             self._solve_proj_jit = jax.jit(solve)
+            # all k deflation-setup columns in one program (vmap masks
+            # the while_loop until every column converges)
+            self._solve_proj_multi_jit = jax.jit(jax.vmap(
+                solve, in_axes=(None, None, None, None, 0)))
             return
 
         bord_fn = self.precond._apply_bordered_pure
@@ -355,6 +372,8 @@ class Solver:
                                 tol=tol, maxiter=maxiter, left=left)
 
         self._solve_proj_jit = jax.jit(solve)
+        self._solve_proj_multi_jit = jax.jit(jax.vmap(
+            solve, in_axes=(None, None, None, None, None, 0)))
 
     def apply_inverse(self, b, x0: Optional[np.ndarray] = None, t=None):
         """Solve K x = b (or the bordered system with border rhs `t`);

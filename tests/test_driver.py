@@ -53,3 +53,13 @@ def test_laplace2():
 @pytest.mark.slow
 def test_threeD1():
     _run("threeD1.xml", max_refines=1)
+
+
+def test_stokes2_data():
+    """The reference's actual stokes2: read the DrivenCavity 128^2 Re0
+    Jacobian from disk (reference integration_tests/stokes2.xml 'Read
+    Linear System') and enforce <=48 iterations at 5e-6."""
+    if not os.path.isdir(
+            "/root/reference/testSuite/data/DrivenCavity/128x128/Re0"):
+        pytest.skip("reference dataset not available")
+    _run("stokes2_data.xml")

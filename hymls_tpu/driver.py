@@ -11,6 +11,7 @@ Usage:
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -67,7 +68,16 @@ def get_linear_system(params: Params, with_mass: bool = False):
         datadir = driver.get("Data Directory", None)
         if not datadir:
             raise ValueError("'Data Directory' not set")
-        K, b, x_ex, ns, mass = hio.read_linear_system(datadir)
+        try:
+            K, b, x_ex, ns, mass = hio.read_linear_system(datadir)
+        except FileNotFoundError:
+            # some reference datasets ship only rhs/sol (the 128^2
+            # DrivenCavity dirs omit jac.mtx); the Re0 cavity Jacobian
+            # is linear and exactly reproducible — reconstruct it and
+            # VERIFY against the shipped pair (the 128^2 Re0 data
+            # satisfies the reconstruction at ~1e-16)
+            K, b, x_ex, ns, mass = _reconstruct_linear_system(
+                params, datadir)
         # make sure grid info is consistent
         grid_from_params(params)
         if ns is not None and not np.any(ns):
@@ -86,6 +96,33 @@ def get_linear_system(params: Params, with_mass: bool = False):
     if mass is None:
         mass = _dummy_mass(params, out[0].shape[0])
     return out + (mass,)
+
+
+def _reconstruct_linear_system(params: Params, datadir: str):
+    """Rebuild a dataset's missing Jacobian from the problem config and
+    verify it against the shipped (rhs, sol) pair.  Only the linear
+    (Re=0) driven-cavity operators are reconstructible this way; the
+    verification gate rejects anything else."""
+    import re as _re
+    from .stencils.navier_stokes import cavity_jacobian
+    prob = params.sublist("Problem")
+    if not str(prob.get("Equations", "")).startswith("Stokes"):
+        raise FileNotFoundError(f"no matrix found in {datadir} and "
+                                "equations are not reconstructible")
+    b = hio.read_vector(os.path.join(datadir, "rhs.mtx"))
+    x_ex = hio.read_vector(os.path.join(datadir, "sol.mtx"))
+    m = _re.search(r"Re(\d+)", datadir)
+    re_val = float(m.group(1)) if m else 0.0
+    nx = int(prob.get("nx"))
+    ny = int(prob.get("ny", nx))
+    K = cavity_jacobian(nx, ny, re=re_val).tocsr()
+    resid = np.linalg.norm(K @ x_ex - b) / np.linalg.norm(b)
+    if not resid < 1e-12:
+        raise FileNotFoundError(
+            f"no matrix in {datadir}; reconstructed cavity Jacobian "
+            f"does not satisfy the dataset (||K sol - rhs||/||rhs|| = "
+            f"{resid:.2e})")
+    return K, b, x_ex, None, None
 
 
 def _dummy_mass(params: Params, n: int):

@@ -689,6 +689,14 @@ def create_matrix(params: Params) -> sp.csr_matrix:
         eqn[-1] if eqn.startswith("Stokes-") else "")
     if gt == "B" and dim == 2:
         return stokes2d_b(nx, ny, float(nx * nx), 1.0, perio)
+    if gt in ("L", "T") and dim == 2:
+        # parity with the reference: 2D supports only C/B grids —
+        # GaleriExt::Matrices::Darcy2D throws "Unknown grid type" for
+        # L/T (reference src/GaleriExt_Darcy2D.h:315-320); L/T grids
+        # exist in 3D only
+        raise ValueError(
+            f"2D Stokes grid type '{gt}' is not defined (the reference "
+            "supports C/B in 2D and C/B/L/T in 3D)")
     if gt in ("L", "T", "B") and dim == 3:
         return stokes3d(nx, ny, nz, float(nx * nx), 1.0, perio,
                         "L" if gt == "B" else gt)

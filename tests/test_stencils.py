@@ -139,3 +139,18 @@ def test_star3d():
     assert abs(row.sum()) < 1e-14       # zero row sum in the interior
     assert (A[0].toarray() != 0).sum() == 8   # corner: 7 nbrs + center
     assert abs(A - A.T).max() == 0.0
+
+
+def test_stokes_2d_lt_grid_rejected():
+    """2D L/T grids are undefined — the reference's Darcy2D throws
+    'Unknown grid type' for anything but C/B in 2D
+    (src/GaleriExt_Darcy2D.h:315-320); match with a clear error."""
+    import pytest
+    from hymls_tpu.config import Params
+    from hymls_tpu.stencils import create_matrix
+    for gt in ("L", "T"):
+        params = Params({"Problem": {"Equations": f"Stokes-{gt}",
+                                     "Dimension": 2, "nx": 8, "ny": 8,
+                                     "Degrees of Freedom": 3}})
+        with pytest.raises(ValueError, match="grid type"):
+            create_matrix(params)

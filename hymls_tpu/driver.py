@@ -44,6 +44,9 @@ class RunReport:
     solves: List[SolveReport] = field(default_factory=list)
     passed: bool = True
     failures: List[str] = field(default_factory=list)
+    # analytic flop/byte cost model + achieved rates (reference flop
+    # counters, src/HYMLS_Preconditioner.cpp:612-680)
+    cost_model: Optional[dict] = None
 
     def check(self, cond: bool, msg: str):
         if not cond:
@@ -262,6 +265,29 @@ def run_case(params: Params, dtype=None) -> RunReport:
             report.check(relerr <= t_err,
                          f"relerr {relerr:.3e} > target {t_err:g}")
 
+    # analytic cost model + achieved rates (reference flop counters,
+    # src/HYMLS_Preconditioner.cpp:612-680; printed by main's final
+    # report)
+    try:
+        from .utils.flops import preconditioner_flops
+        fm = preconditioner_flops(P)
+        ct = timer.total("compute")
+        st = timer.total("solve")
+        iters_tot = sum(s.iters for s in report.solves)
+        report.cost_model = {
+            "compute_gflop": fm["compute_flops"] / 1e9,
+            "apply_mflop": fm["apply_flops"] / 1e6,
+            "apply_mb": fm["apply_bytes"] / 1e6,
+            "compute_gflops_achieved":
+                fm["compute_flops"] * num_computes / max(ct, 1e-12) / 1e9,
+            "apply_gflops_achieved":
+                fm["apply_flops"] * iters_tot / max(st, 1e-12) / 1e9,
+            "apply_gbps_achieved":
+                fm["apply_bytes"] * iters_tot / max(st, 1e-12) / 1e9,
+        }
+    except Exception:       # cost model must never fail a run
+        report.cost_model = None
+
     # optional dumps (reference 'Store Solution'/'Store Matrix' flags,
     # src/main.cpp:129-131,484-490; 'Store Format'='HDF5' uses the
     # EpetraExt_HDF5-equivalent container)
@@ -454,6 +480,15 @@ def main(argv=None):
                   f"[compute {s.compute_time:.2f}s solve {s.solve_time:.2f}s]")
         for msg in r.failures:
             print(f"refinement {i}: FAILED: {msg}")
+        if r.cost_model:
+            c = r.cost_model
+            print(f"refinement {i}: cost model: factor "
+                  f"{c['compute_gflop']:.2f} GFLOP "
+                  f"({c['compute_gflops_achieved']:.1f} GFLOP/s achieved), "
+                  f"V-cycle {c['apply_mflop']:.2f} MFLOP / "
+                  f"{c['apply_mb']:.2f} MB "
+                  f"({c['apply_gflops_achieved']:.1f} GFLOP/s, "
+                  f"{c['apply_gbps_achieved']:.1f} GB/s achieved)")
     # aggregated timing table at exit (reference Tools::PrintTiming,
     # src/main.cpp:515) + host and device memory reports
     from .utils.timings import (print_timing, device_memory_report,

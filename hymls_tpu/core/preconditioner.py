@@ -47,6 +47,61 @@ from .permute import want_sort_perm, perm_sort_plan, apply_sorted_perm
 # small device helpers
 # ---------------------------------------------------------------------------
 
+def _plan_cache_dir() -> str:
+    import os
+    return os.environ.get("HYMLS_PLAN_CACHE", "/tmp/hymls_plan_cache")
+
+
+@functools.lru_cache(maxsize=1)
+def _plan_builder_salt() -> bytes:
+    """Hash of the plan-building sources: any code change invalidates
+    cached plans automatically."""
+    import hashlib
+    import os
+    h = hashlib.sha256(b"hymls-plan-cache-v1")
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rel in ("core/plan.py", "partition/cartesian.py",
+                "partition/skew.py", "partition/hierarchical.py",
+                "grid.py"):
+        try:
+            with open(os.path.join(base, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.digest()
+
+
+def _plan_cache_load(key):
+    import os
+    import pickle
+    if key is None:
+        return None
+    path = os.path.join(_plan_cache_dir(), key + ".pkl")
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except (OSError, pickle.PickleError, EOFError, AttributeError,
+            ImportError):
+        return None
+
+
+def _plan_cache_store(key, payload) -> None:
+    import os
+    import pickle
+    import tempfile
+    if key is None:
+        return
+    d = _plan_cache_dir()
+    try:
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, os.path.join(d, key + ".pkl"))
+    except (OSError, pickle.PickleError):
+        pass
+
+
 def _ext(v):
     """Append the 0.0 sentinel slot."""
     return jnp.concatenate([v, jnp.zeros((1,), dtype=v.dtype)])
@@ -600,7 +655,16 @@ class Preconditioner:
 
     # -- symbolic setup ----------------------------------------------------
     def initialize(self):
-        """Partition every level and build the static plans (host)."""
+        """Partition every level and build the static plans (host).
+
+        Plans depend only on the matrix PATTERN, the test vector and
+        the grid/preconditioner configuration — never on the values —
+        so they are persisted to a disk cache (HYMLS_PLAN_CACHE,
+        default /tmp/hymls_plan_cache) keyed by those inputs plus a
+        hash of the plan-builder sources.  The TPU-native analogue of
+        the reference's SetMatrix ordering reuse, extended across
+        processes: at 32^3-skew sizes a cold plan build costs ~2 min
+        of single-core host time; a warm load is sub-second."""
         g = self.grid
         part = PartitionParams.from_params(self.params, g, level=0)
 
@@ -624,31 +688,76 @@ class Preconditioner:
             self._init_direct_sc(part, pattern, nodes)
             return
 
-        for lev in range(self.max_level):
-            if lev > 0:
-                # re-resolve per-level parameters (e.g. 'Retain Nodes at
-                # Level k', reference BasePartitioner::SetParameters) and
-                # keep the geometric separator-length evolution
-                nxt = part.next_level()
-                part = PartitionParams.from_params(self.params, g, level=lev)
-                part.sx, part.sy, part.sz = nxt.sx, nxt.sy, nxt.sz
-                part.cx, part.cy, part.cz = nxt.cx, nxt.cy, nxt.cz
-            cart = self._make_partitioner(part)
-            self._level_parts.append(part)
-            sds = [cart.get_groups(sd) for sd in cart.valid_subdomain_ids()]
-            hier = build_hierarchy(sds, active=None if lev == 0 else nodes)
-            plan, tv = build_level_plan(lev, hier, pattern, nodes, tv,
-                                        apply_dropping=self.apply_dropping,
-                                        variant=self.variant)
-            self.plans.append(plan)
-            self.hierarchies.append(hier)
-            nodes = plan.next_nodes
-            pattern = plan.next_pattern
+        import time as _time
+        key = self._plan_cache_key()
+        cached = _plan_cache_load(key)
+        if cached is not None:
+            (self.plans, self.hierarchies, self.coarse_plan,
+             self._level_parts) = cached
+        else:
+            _t_build = _time.perf_counter()
+            for lev in range(self.max_level):
+                if lev > 0:
+                    # re-resolve per-level parameters (e.g. 'Retain
+                    # Nodes at Level k', reference BasePartitioner::
+                    # SetParameters) and keep the geometric
+                    # separator-length evolution
+                    nxt = part.next_level()
+                    part = PartitionParams.from_params(self.params, g,
+                                                       level=lev)
+                    part.sx, part.sy, part.sz = nxt.sx, nxt.sy, nxt.sz
+                    part.cx, part.cy, part.cz = nxt.cx, nxt.cy, nxt.cz
+                cart = self._make_partitioner(part)
+                self._level_parts.append(part)
+                sds = [cart.get_groups(sd)
+                       for sd in cart.valid_subdomain_ids()]
+                hier = build_hierarchy(sds,
+                                       active=None if lev == 0 else nodes)
+                plan, tv = build_level_plan(
+                    lev, hier, pattern, nodes, tv,
+                    apply_dropping=self.apply_dropping,
+                    variant=self.variant)
+                self.plans.append(plan)
+                self.hierarchies.append(hier)
+                nodes = plan.next_nodes
+                pattern = plan.next_pattern
 
-        self.coarse_plan = build_coarse_plan(pattern, nodes, self.fix_gids)
+            self.coarse_plan = build_coarse_plan(pattern, nodes,
+                                                 self.fix_gids)
+            # only persist expensive builds: the test suite's many tiny
+            # configs would otherwise litter the cache for no gain
+            if _time.perf_counter() - _t_build > 5.0:
+                _plan_cache_store(key, (self.plans, self.hierarchies,
+                                        self.coarse_plan,
+                                        self._level_parts))
         self._build_device_plans()
         self._init_structured()
         self._initialized = True
+
+    def _plan_cache_key(self) -> Optional[str]:
+        """Content hash of everything the plan build reads; None
+        disables caching (HYMLS_PLAN_CACHE='')."""
+        import hashlib
+        if not _plan_cache_dir():
+            return None
+        h = hashlib.sha256()
+        h.update(_plan_builder_salt())
+        K = self.K
+        h.update(np.asarray(K.indptr).tobytes())
+        h.update(np.asarray(K.indices).tobytes())
+        h.update(self.testvector.tobytes())
+        # exactly the inputs the plan build reads: per-level partition
+        # parameters (NOT the whole sublist — Teuchos-style get()
+        # inserts defaults, which would make the key run-order
+        # dependent), grouping flags, and the grid
+        parts = [repr(PartitionParams.from_params(self.params, self.grid,
+                                                  level=lev))
+                 for lev in range(self.max_level)]
+        cfg = (repr(self.grid), self.max_level, self.variant,
+               self.partitioner_type, self.apply_dropping,
+               list(self.fix_gids), parts)
+        h.update(repr(cfg).encode())
+        return h.hexdigest()
 
     def _init_structured(self):
         """Try to compile the gather-free structured apply

@@ -17,16 +17,24 @@ on these saddle-point matrices).  The reference's *achieved* iteration
 parity is reported per case in extra.cases[*].iters_f64 against the
 reference target cap — parity is a gate (ok flag), not the baseline.
 
-Cases (VERDICT round-1 item 2):
+Cases:
   * cavity64_Re1000       — 64^2 driven-cavity Jacobian, Cartesian L=1
                             structured path (the north-star config)
+  * stokesB_64            — B-grid Stokes 64^2 (generic path by design)
+  * cavity128_Re0         — 128^2 driven cavity (n=49k), skew L=3: the
+                            stokes2 flagship on the reference dataset
+                            (Jacobian reconstructed + verified at 1e-16
+                            against the shipped rhs/sol pair)
   * stokes128_L2          — 128^2 Stokes-C, Cartesian L=2 multilevel
-                            structured path (no 128^2 Jacobian in the
-                            reference data set -> generated Stokes-C)
-  * stokes32cube_skew_L2  — 32^3 Stokes-C, skew partitioner, L=2
+  * stokes32cube_skew_L2  — 32^3 Stokes-C (n=131k), skew, L=2
   * structured_vs_generic — V-cycle apply: structured gather-free vs
                             generic gather path on the cavity64 matrix
                             (vs_baseline = generic/structured)
+
+The 1-core bench host cannot run a real 8-rank CPU baseline (the
+north star names 8-rank Trilinos); each case therefore also reports
+`vs_8rank_cpu_ideal` = measured-serial-seconds / 8 / ours — the ideal
+linear-scaling bound, an upper bound on any real 8-rank run.
 
 Each case runs the TPU-native production path: f32 factorization +
 Krylov inside an f64 iterative-refinement loop, fused into a single
@@ -73,8 +81,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/hymls_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 DATA = "/root/reference/testSuite/data/DrivenCavity/64x64/Re1000"
+DATA128 = "/root/reference/testSuite/data/DrivenCavity/128x128/Re0"
 TARGET_ITERS = 250      # testSuite/cavity.xml "Maximum Iterations"
 TOL = 1e-12             # testSuite/cavity.xml "Convergence Tolerance"
+
+# roofline assumptions for the achieved-rate report (TPU v5e / v5
+# lite): 819 GB/s HBM; f32 matmul ~ bf16 peak (197 TFLOP/s) / 4
+PEAK_HBM_GBPS = 819.0
+PEAK_F32_GFLOPS = 49_200.0
 
 
 def _cavity64():
@@ -87,6 +101,25 @@ def _cavity64():
     from hymls_tpu.stencils.navier_stokes import cavity_jacobian
     K = cavity_jacobian(64, 64, re=1000.0).tocsr()
     rng = np.random.default_rng(0)
+    b = K @ rng.standard_normal(K.shape[0])
+    return K, b, "synthetic"
+
+
+def _cavity128():
+    """128^2 DrivenCavity Re0 (the stokes2 flagship problem, n=49k).
+    The dataset ships only rhs/sol; the Re0 Jacobian is linear and
+    exactly reconstructible — verified against the shipped pair
+    (||K sol - rhs||/||rhs|| = 1.4e-16)."""
+    from hymls_tpu.stencils.navier_stokes import cavity_jacobian
+    K = cavity_jacobian(128, 128, re=0.0).tocsr()
+    if os.path.isdir(DATA128):
+        from hymls_tpu.utils.io import read_vector
+        b = np.asarray(read_vector(os.path.join(DATA128, "rhs.mtx")))
+        sol = np.asarray(read_vector(os.path.join(DATA128, "sol.mtx")))
+        resid = np.linalg.norm(K @ sol - b) / np.linalg.norm(b)
+        assert resid < 1e-12, f"dataset mismatch {resid:.2e}"
+        return K, b, "reference-data (reconstructed+verified Jacobian)"
+    rng = np.random.default_rng(4)
     b = K @ rng.standard_normal(K.shape[0])
     return K, b, "synthetic"
 
@@ -349,10 +382,35 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         baseline["note"] = ("time-boxed: seconds is a LOWER BOUND (the "
                             "factorization was still running); "
                             "vs_baseline is therefore '>='")
+
+    # analytic cost model + achieved rates (reference flop counters,
+    # src/HYMLS_Preconditioner.cpp:612-680); model flops per Newton
+    # step = one factorization + inner_iters * (V-cycle apply + SpMV)
+    from hymls_tpu.utils.flops import preconditioner_flops
+    fm = preconditioner_flops(S.precond)
+    step_flops = fm["compute_flops"] + max(inner_iters, 0) * (
+        fm["apply_flops"] + 2.0 * K.nnz)
+    achieved_gflops = step_flops / elapsed / 1e9
+    cost_model = {
+        "compute_gflop": round(fm["compute_flops"] / 1e9, 3),
+        "apply_mflop": round(fm["apply_flops"] / 1e6, 3),
+        "apply_mb": round(fm["apply_bytes"] / 1e6, 3),
+        "model_step_gflop": round(step_flops / 1e9, 3),
+        "achieved_gflops": round(achieved_gflops, 2),
+        "pct_f32_peak": round(100 * achieved_gflops / PEAK_F32_GFLOPS, 2),
+        "peak_assumption": "v5e: 49.2 f32 TFLOP/s (bf16 197/4), "
+                           "819 GB/s HBM",
+    }
+
     result = {
         "value": round(elapsed, 5),
         "unit": "seconds/factor+solve",
         "vs_baseline": round(base_secs / elapsed, 3),
+        # the north star compares against 8-rank CPU Trilinos; this
+        # 1-core host cannot run one (nproc=1), so report the IDEAL
+        # linear-scaling bound of the measured serial baseline — an
+        # upper bound on any real 8-rank run
+        "vs_8rank_cpu_ideal": round(base_secs / 8.0 / elapsed, 3),
         "ok": relres <= relres_ok,
         "baseline": baseline,
         "per_dispatch_s": round(per_dispatch, 5),
@@ -361,6 +419,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "target_iters": target_iters,
         "ir_inner_iters": inner_iters,
         "relres": relres,
+        "cost_model": cost_model,
     }
     if extra_fields:
         result.update(extra_fields)
@@ -449,12 +508,26 @@ def _bench_apply_modes(params, K, b, reps=400):
             t[nit] = time.perf_counter() - t0
         times[mode] = max((t[reps + 1] - t[1]) / reps, 1e-9)
         _progress(f"  {mode}: {times[mode] * 1e3:.3f} ms/apply")
+        if mode == "structured":
+            P_struct = P
+    # HBM roofline of the V-cycle apply (bandwidth-bound: factor reads
+    # + vector traffic, analytic byte count with f32 factors)
+    from hymls_tpu.utils.flops import preconditioner_flops
+    fm = preconditioner_flops(P_struct)
+    gbps = fm["apply_bytes"] / 2 / times["structured"] / 1e9  # f32: /2
     return {
         "value": round(times["structured"], 6),
         "unit": "seconds/apply",
         "vs_baseline": round(times["generic"] / times["structured"], 3),
         "baseline": {"method": "generic gather-path apply (same device)",
                      "seconds": round(times["generic"], 6)},
+        "cost_model": {
+            "apply_mflop": round(fm["apply_flops"] / 1e6, 3),
+            "apply_mb_f32": round(fm["apply_bytes"] / 2 / 1e6, 3),
+            "achieved_gbps": round(gbps, 1),
+            "pct_hbm_roofline": round(100 * gbps / PEAK_HBM_GBPS, 1),
+            "peak_assumption": "v5e: 819 GB/s HBM",
+        },
     }
 
 
@@ -464,6 +537,17 @@ def _run_case(name):
         K, b, source = _cavity64()
         params = _stokes_params(64, 2, 1, "Cartesian")
         return _bench_newton(params, K, b, reps=10,
+                             extra_fields={"source": source})
+
+    if name == "cavity128_Re0":
+        # the stokes2 flagship at scale: 128^2 driven cavity (n=49k),
+        # skew partitioner, 3 levels, reference targets <=48 iters at
+        # 5e-6 (testSuite/integration_tests/stokes2.xml)
+        K, b, source = _cavity128()
+        p = _stokes_params(128, 2, 3, "Skew Cartesian",
+                           maxiter=100, tol=1e-6)
+        return _bench_newton(p, K, b, reps=5, target_iters=48,
+                             relres_ok=5e-6,
                              extra_fields={"source": source})
 
     if name == "stokes128_L2":
@@ -524,12 +608,13 @@ def _run_case(name):
 
 
 # headline first, then the remaining CPU-baseline ratio cases in
-# ascending cost (three wall-clock-ratio metrics land before the
-# expensive ones), then the 3D skew case (most expensive + the only
-# observed TPU-worker-crash mode), then the device-internal apply-mode
+# ascending cost (wall-clock-ratio metrics land before the expensive
+# ones), then the 3D skew case (most expensive + the only observed
+# TPU-worker-crash mode), then the device-internal apply-mode
 # comparison — budget exhaustion starves the bonus case, not a ratio
-CASE_ORDER = ["cavity64_Re1000", "stokesB_64", "stokes128_L2",
-              "stokes32cube_skew_L2", "structured_vs_generic_apply"]
+CASE_ORDER = ["cavity64_Re1000", "stokesB_64", "cavity128_Re0",
+              "stokes128_L2", "stokes32cube_skew_L2",
+              "structured_vs_generic_apply"]
 
 
 def main():
@@ -544,8 +629,9 @@ def main():
     # later cases are skipped once the elapsed wall-clock passes this
     # budget so the headline JSON line is ALWAYS printed well inside
     # the driver's timeout (cold TPU compiles through the remote
-    # tunnel can take minutes per program)
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # tunnel can take minutes per program); default leaves ~60s margin
+    # under the driver's 900s
+    budget = float(os.environ.get("BENCH_BUDGET_S", "840"))
     device = str(jax.devices()[0])
     _progress(f"device {device}; budget {budget:.0f}s")
     cases = {}
@@ -553,19 +639,21 @@ def main():
 
     for name in CASE_ORDER:
         remaining = budget - (time.time() - t_all)
-        if cases and remaining < 60:
+        if cases and remaining < 100:
             cases[name] = {"error": "bench budget exhausted"}
             continue
         # each case in its own subprocess: a TPU worker crash must not
         # poison the remaining cases (observed once: 32^3 f64
-        # full-basis solve "kernel fault")
+        # full-basis solve "kernel fault").  The child timeout never
+        # exceeds the remaining budget (+grace) so the total wall-clock
+        # stays bounded by budget + grace.
         try:
             env = dict(os.environ,
                        BENCH_CASE_BUDGET_S=str(max(remaining, 120)))
             proc = subprocess.run(
                 [sys.executable, here, "--case", name],
                 stdout=subprocess.PIPE, stderr=None, env=env,
-                timeout=max(remaining, 120) + 60)
+                timeout=max(remaining, 120) + 30)
             lines = [l for l in proc.stdout.decode().splitlines()
                      if l.startswith("{")]
             if lines:

@@ -124,6 +124,15 @@ class DistributedSolve:
         self.axis = axis = mesh.axis_names[0]
         ndev = mesh.size
         self.app = make_halo_apply(precond, mesh)
+        # distributed factorization (ppermute SC assembly, factors in
+        # the halo layout) — when available the whole Newton step
+        # (factor + Krylov solve) runs sharded; otherwise the factors
+        # are computed replicated and stacked (stack_factors)
+        try:
+            from .dist_compute import DistributedCompute
+            self.dcompute = DistributedCompute(precond, mesh)
+        except UnshardableError:
+            self.dcompute = None
         bm = self.app._bmaps
         L = bm["max_onod0"]
         self.L = L
@@ -198,6 +207,10 @@ class DistributedSolve:
 
         st["levels"] = jax.tree.map(constrain, st["levels"])
         return st
+
+    def compute(self, vals):
+        """Fully distributed factorization (pure; requires dcompute)."""
+        return self.dcompute.compute(vals)
 
 
 def make_distributed_solve(K, precond, mesh) -> DistributedSolve:

@@ -135,24 +135,11 @@ def _recv_offsets_table(ex: _Exchange, base: int):
     return table, off          # off == position of the zero sentinel
 
 
-def build_halo_plans(precond, ndev: int):
-    """Host-side construction of all per-shard static index plans.
-
-    Returns (levels, coarse, meta): `levels` is a list of dicts of
-    stacked (ndev, ...) numpy arrays (+ static offset lists in meta),
-    `coarse` holds the coarse-stage maps, `meta` carries python-level
-    statics (offsets per exchange, shapes)."""
-    plans = precond.plans
-    max_level = precond.max_level
-    if max_level < 1:
-        raise UnshardableError("halo V-cycle needs Number of Levels >= 1")
-    cp = precond.coarse_plan
-
-    levels = []
-    meta = []
-
-    # ownership per level (computed top-down; the coarse vector is the
-    # last level's vsum set and stays with its fine owners)
+def compute_ownership(plans, ndev: int):
+    """Per-level ownership: (own_sd, own_sep, own_node, loc_of_node)
+    lists — shared by the halo V-cycle and the distributed factor
+    plans (parallel/dist_compute.py) so both sides agree on the
+    owner-sharded layouts."""
     own_sd_l, own_sep_l, own_node_l, loc_of_node_l = [], [], [], []
     for l, plan in enumerate(plans):
         n_sd = plan.int_pos.shape[0]
@@ -184,6 +171,29 @@ def build_halo_plans(precond, ndev: int):
         own_sep_l.append(own_sep)
         own_node_l.append(own_node)
         loc_of_node_l.append(loc)
+    return own_sd_l, own_sep_l, own_node_l, loc_of_node_l
+
+
+def build_halo_plans(precond, ndev: int):
+    """Host-side construction of all per-shard static index plans.
+
+    Returns (levels, coarse, meta): `levels` is a list of dicts of
+    stacked (ndev, ...) numpy arrays (+ static offset lists in meta),
+    `coarse` holds the coarse-stage maps, `meta` carries python-level
+    statics (offsets per exchange, shapes)."""
+    plans = precond.plans
+    max_level = precond.max_level
+    if max_level < 1:
+        raise UnshardableError("halo V-cycle needs Number of Levels >= 1")
+    cp = precond.coarse_plan
+
+    levels = []
+    meta = []
+
+    # ownership per level (computed top-down; the coarse vector is the
+    # last level's vsum set and stays with its fine owners)
+    own_sd_l, own_sep_l, own_node_l, loc_of_node_l = \
+        compute_ownership(plans, ndev)
 
     for l, plan in enumerate(plans):
         n_sd = plan.int_pos.shape[0]

@@ -148,9 +148,16 @@ class Solver:
         if self.distributed:
             dist = self._make_dist()
             if dist is not None:
+                dcompute = dist.dcompute is not None
+
                 def solve(vals, factors, dplans, b, x0):
                     pv = dist.prepare(vals)
-                    fac_st = dist.stack_factors(factors)
+                    if dcompute:
+                        # fully distributed Newton step: ppermute SC
+                        # assembly inside the same program as the solve
+                        fac_st = dist.compute(vals)
+                    else:
+                        fac_st = dist.stack_factors(factors)
                     b_st = dist.scatter(b)
                     x0_st = dist.scatter(x0)
 

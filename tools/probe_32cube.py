@@ -40,34 +40,18 @@ def launch_overhead():
     return (time.perf_counter() - t0) / 10
 
 
-def time_fn(label, fn, args_of, reps, fused=True):
-    """fn(scale) -> pytree; args_of unused (kept for clarity)."""
-    if fused:
-        def loop(niter):
-            def body(i, _):
-                return fn(1.0 + 1e-6 * i.astype(jnp.float64))
-            return lax.fori_loop(0, niter, body, fn(jnp.float64(1.0)))
-        try:
-            fjit = jax.jit(loop)
-            sync(fjit(1))
-            t = {}
-            for nit in (1, reps + 1):
-                t0 = time.perf_counter()
-                sync(fjit(nit))
-                t[nit] = time.perf_counter() - t0
-            dt = (t[reps + 1] - t[1]) / reps
-            msg(f"{label}: {dt * 1e3:.1f} ms (fused delta)")
-            return dt
-        except Exception as e:
-            msg(f"{label}: fused failed ({type(e).__name__}); "
-                "per-dispatch fallback")
+def time_fn(label, fn, args, reps):
+    """fn(scale, *args) -> pytree.  All data passes as jit ARGUMENTS —
+    capturing the 2.7 GB plan pytrees as constants makes the program
+    serialization exceed the remote-compile tunnel (observed: probe
+    wedged for 25+ min lowering factor_only with 2.66 GB captured)."""
     fnjit = jax.jit(fn)
-    sync(fnjit(jnp.float64(1.0)))
+    sync(fnjit(jnp.float64(1.0), *args))
     ovh = launch_overhead()
     t0 = time.perf_counter()
     last = None
     for i in range(reps):
-        last = fnjit(jnp.float64(1.0 + 1e-6 * i))
+        last = fnjit(jnp.float64(1.0 + 1e-6 * i), *args)
     sync(last)
     dt = (time.perf_counter() - t0) / reps - ovh
     msg(f"{label}: {dt * 1e3:.1f} ms (per-dispatch - {ovh * 1e3:.1f} ms)")
@@ -112,31 +96,33 @@ def main():
 
     reps = 3
 
-    # 1. factor only (the f64-assembly chain)
-    def factor_only(s):
-        f = compute(vals64 * s, dplans, extra)
+    def tree_sum(f):
         return jax.tree_util.tree_map(
             lambda a: jnp.sum(a.astype(jnp.float32)), f)
 
-    t_factor = time_fn("factor (compute chain)", factor_only, None, reps)
+    # 1. factor only (the f64-assembly chain)
+    def factor_only(s, v, dp, ex):
+        return tree_sum(compute(v * s, dp, ex))
+
+    t_factor = time_fn("factor (compute chain)", factor_only,
+                       (vals64, dplans, extra), reps)
 
     # 2. repack (apply_factors_from_pure)
-    def factor_repack(s):
-        f = compute(vals64 * s, dplans, extra)
-        af = P.apply_factors_from_pure(f, aplans)
-        return jax.tree_util.tree_map(
-            lambda a: jnp.sum(a.astype(jnp.float32)), af)
+    def factor_repack(s, v, dp, ex, ap):
+        f = compute(v * s, dp, ex)
+        return tree_sum(P.apply_factors_from_pure(f, ap))
 
-    t_repack = time_fn("factor + repack", factor_repack, None, reps)
+    t_repack = time_fn("factor + repack", factor_repack,
+                       (vals64, dplans, extra, aplans), reps)
 
     # 3. solve only (fused IR with fixed factors)
     afac = P.apply_factors
-    def solve_only(s):
-        return fused(vals64 * s, vals32 * s.astype(jnp.float32),
-                     afac, aplans, bj).x
+
+    def solve_only(s, v64, v32, af, ap, b):
+        return fused(v64 * s, v32 * s.astype(jnp.float32), af, ap, b).x
 
     t_solve = time_fn("solve (fused IR, fixed factors)", solve_only,
-                      None, reps)
+                      (vals64, vals32, afac, aplans, bj), reps)
 
     msg(f"TOTAL ~ {(t_repack + t_solve) * 1e3:.1f} ms  "
         f"(factor {t_factor * 1e3:.0f} + repack "

@@ -80,8 +80,14 @@ class PallasDiaMatvec:
         # 128-lane boundary, plus one extra 128 so every window load
         # (block + 128 wide) stays inside x_pad
         self.pad_al = 128 * (pad // 128 + 2)
-        # lane-aligned tile; a tiny problem gets one whole-array tile
+        # lane-aligned tile; a tiny problem gets one whole-array tile.
+        # block MUST stay a 128-multiple: the kernel's
+        # pl.multiple_of(start, 128) hint would otherwise be false —
+        # a silent miscompile on real TPU (interpret mode can't catch
+        # it), so round up and assert
+        block = -(-block // 256) * 256
         block = min(block, -(-self.n // 256) * 256)
+        assert block % 128 == 0, f"block {block} not a 128-multiple"
         self.block = block
         self.grid = -(-self.n // block)
         self.n_r = self.grid * block
@@ -108,11 +114,18 @@ class PallasDiaMatvec:
         pad_al = 128 * (pad // 128 + 2)
         return HAVE_PALLAS and (n + 2 * pad_al + 2048) * 4 <= _VMEM_X_BYTES
 
-    def __call__(self, bands, x):
+    def pad_bands(self, bands):
+        """(k, n) -> (k, n_r), done ONCE at prepare() time so the
+        per-matvec path doesn't re-copy the bands (a k*n HBM copy per
+        call outside jit loops)."""
         bands = jnp.asarray(bands, jnp.float32)
+        if bands.shape[1] == self.n_r:
+            return bands
+        return jnp.pad(bands, ((0, 0), (0, self.n_r - self.n)))
+
+    def __call__(self, bands, x):
         x = jnp.asarray(x, jnp.float32)
-        k = len(self.offsets)
-        bands_r = jnp.pad(bands, ((0, 0), (0, self.n_r - self.n)))
+        bands_r = self.pad_bands(bands)
         x_pad = jnp.pad(x, (self.pad_al, self.pad_al + self.n_r - self.n))
         y = self._call(x_pad[None, :], bands_r)
         return y[0, :self.n]

@@ -110,15 +110,26 @@ class DiaOperator:
         """Band extraction, hoisted out of iteration loops (a 15x-n
         gather per matvec otherwise dominates on TPU)."""
         vals_ext = jnp.concatenate([vals, jnp.zeros((1,), dtype=vals.dtype)])
-        return vals_ext[self.vidx]                   # (k, n)
+        bands = vals_ext[self.vidx]                  # (k, n)
+        if self._pallas is not None and bands.dtype == jnp.float32:
+            # pad once here instead of per matvec (pallas tile layout)
+            bands = self._pallas.pad_bands(bands)
+        return bands
 
     @staticmethod
     def _pick_pallas(mode, offsets, n, dtype):
         """Optional pallas fused-sweep matvec (ops/pallas_spmv.py):
         keeps x VMEM-resident and streams only the bands, ~2x less
         HBM traffic than the XLA shifted-slice lowering.  f32 + TPU
-        only; opt-in via HYMLS_PALLAS_SPMV=1 (or pallas=True)."""
+        only; opt-in via HYMLS_PALLAS_SPMV=1 (or pallas=True).
+
+        Before the kernel enters the Krylov hot loop it must prove
+        itself ONCE in compiled mode against the XLA path on this
+        device (interpret-mode tests cannot exercise the Mosaic
+        alignment/roll constructs it relies on); any construction,
+        compile or parity failure warns and falls back."""
         import os
+        import warnings
         if mode == "env":
             mode = os.environ.get("HYMLS_PALLAS_SPMV", "0") == "1"
         if not mode or dtype != jnp.float32:
@@ -130,18 +141,41 @@ class DiaOperator:
             from .pallas_spmv import PallasDiaMatvec
             if not PallasDiaMatvec.fits(offsets, n):
                 return None
-            return PallasDiaMatvec(offsets, n)
-        except Exception:
+            pk = PallasDiaMatvec(offsets, n)
+            # compiled-mode parity self-check vs the XLA lowering
+            rng = np.random.default_rng(0)
+            bands = jnp.asarray(
+                rng.standard_normal((len(offsets), n)), jnp.float32)
+            x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+            y_k = np.asarray(pk(bands, x))
+            pad = int(max(-min(offsets), max(offsets), 1))
+            x_pad = jnp.pad(x, (pad, pad))
+            y_r = sum(bands[k] * jax.lax.dynamic_slice(
+                x_pad, (pad + int(off),), (int(n),))
+                for k, off in enumerate(np.asarray(offsets).tolist()))
+            y_r = np.asarray(y_r)
+            scale = max(np.abs(y_r).max(), 1e-30)
+            err = np.abs(y_k - y_r).max() / scale
+            if not err < 1e-5:
+                warnings.warn(
+                    f"pallas DIA matvec failed compiled parity "
+                    f"(rel err {err:.2e}); using the XLA path")
+                return None
+            return pk
+        except Exception as e:       # pragma: no cover - device specific
+            warnings.warn(f"pallas DIA matvec unavailable "
+                          f"({type(e).__name__}: {e}); using the XLA path")
             return None
 
     def matvec_prepared(self, bands, x):
-        if self._pallas is not None and x.dtype == jnp.float32:
+        if self._pallas is not None and x.dtype == jnp.float32 \
+                and bands.dtype == jnp.float32:
             return self._pallas(bands, x)
         pad = self.pad
         x_pad = jnp.pad(x, (pad, pad))
         y = jnp.zeros_like(x)
         for k, off in enumerate(self.offsets.tolist()):
-            y = y + bands[k] * jax.lax.dynamic_slice(
+            y = y + bands[k, :self.n] * jax.lax.dynamic_slice(
                 x_pad, (pad + off,), (self.n,))
         return y
 

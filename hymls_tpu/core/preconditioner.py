@@ -147,6 +147,19 @@ def _drop_rel_diag(vals, rows, cols, diag_entry, tol=SMALL_ENTRY):
     return jnp.where(keep, vals, jnp.zeros_like(vals))
 
 
+def _apply_ot_pg(t, dp, enabled=True):
+    """_apply_ot with sort-permutation gathers (used by the level apply
+    where the maps carry _skeys; the halo/bordered paths keep the plain
+    gather form)."""
+    if not enabled:
+        return -t
+    w_vals = dp["w_vals"]
+    gath = _pgather(dp, "w_pos", t)                      # (r, gmax)
+    dots = jnp.sum(w_vals * gath, axis=1)
+    return 2.0 * _pgather(dp, "ot_inv_idx", w_vals.reshape(-1)) * \
+        _pgather(dp, "ot_row_of", dots) - t
+
+
 def _apply_ot(t, dp, enabled=True):
     """y = (2 W^T W - I) t — the global per-group Householder transform;
     groups without a reflector row get -I (reference
@@ -227,10 +240,28 @@ def _device_level(plan: LevelPlan, dtype,
     # ~3 ms of the cavity-64 level factor).  Non-injective maps (e.g.
     # A22 entries shared between subdomains) fall back automatically.
     t11_size = int(np.prod(np.asarray(plan.A22_idx).shape))
+    n_sd, ni = plan.int_pos.shape
     src_of = {"A11_idx": plan.nnz, "A12_idx": plan.nnz,
               "A21_idx": plan.nnz, "A22_idx": plan.nnz,
               "sc11_gather": t11_size, "blk_idx": plan.nnz_sc,
-              "sc22_src": t11_size}
+              "sc22_src": t11_size,
+              # apply-path maps (one per V-cycle per Krylov iteration —
+              # the hot loop at large 3D sizes, where the serial TPU
+              # gather is the per-iteration floor); non-injective maps
+              # (sd_sep_pos: separators read by every touching
+              # subdomain) return None and keep the gather
+              "int_pos": plan.n_nodes,
+              "sep_from_sd": int(np.prod(plan.sd_sep_pos.shape)),
+              "sep_pos_in_nodes": plan.n_nodes,
+              "blk_pos": plan.n_sep,
+              "blk_inv_idx": int(np.prod(plan.blk_pos.shape)),
+              "vsum_pos": plan.n_sep,
+              "vsum_slot": int(plan.vsum_pos.size),
+              "node_src": n_sd * ni + plan.n_sep,
+              "sd_sep_pos": plan.n_sep,
+              "w_pos": plan.n_sep,
+              "ot_row_of": int(plan.w_pos.shape[0]),
+              "ot_inv_idx": int(np.prod(plan.w_vals.shape))}
     for f, src in src_of.items():
         g = np.asarray(getattr(plan, f))
         if g.size and want_sort_perm(g.size, src):
@@ -465,45 +496,43 @@ def _apply_level(b, fac, dp, sizes, solve_next, apply_ot=True):
     """One level of the preconditioner application (block-diagonal
     variant; reference Preconditioner::ApplyInverse +
     SchurPreconditioner::ApplyInverse).  All data movement is
-    gather-form (TPU scatters are serialized)."""
+    gather-form (TPU scatters are serialized); every injective map
+    rides the sort-permutation strategy on TPU (_pgather,
+    core/permute.py) — the serial gather is otherwise the
+    per-iteration floor at large 3D sizes."""
     n_nodes, n_sep = sizes
     dtype = b.dtype
-    b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=dtype)])
 
-    b1 = b_ext[dp["int_pos"]]                    # (s, ni)
+    b1 = _pgather(dp, "int_pos", b)              # (s, ni)
     x1 = _bmm(fac["A11inv"], b1)
 
     y2c = _bmm(fac["A21"], x1)                   # (s, ns)
-    y2 = jnp.sum(_ext(y2c.reshape(-1))[dp["sep_from_sd"]], axis=1)
+    y2 = jnp.sum(_pgather(dp, "sep_from_sd", y2c.reshape(-1)), axis=1)
 
-    b2 = b[dp["sep_pos_in_nodes"]]
+    b2 = _pgather(dp, "sep_pos_in_nodes", b)
     r2 = b2 - y2
 
     # --- Schur preconditioner -------------------------------------------
-    t = _apply_ot(r2, dp, apply_ot)
+    t = _apply_ot_pg(r2, dp, apply_ot)
 
-    t_ext = jnp.concatenate([t, jnp.zeros((1,), dtype=dtype)])
-    tb = t_ext[dp["blk_pos"]]
+    tb = _pgather(dp, "blk_pos", t)
     yb = _bmm(fac["blkinv"], tb)
-    y = _ext(yb.reshape(-1))[dp["blk_inv_idx"]]
+    y = _pgather(dp, "blk_inv_idx", yb.reshape(-1))
 
-    b_next = t[dp["vsum_pos"]]
+    b_next = _pgather(dp, "vsum_pos", t)
     x_next = solve_next(b_next)
-    x_next_ext = jnp.concatenate([x_next, jnp.zeros((1,), dtype=dtype)])
     n_vsum = dp["vsum_pos"].shape[0]
     y = jnp.where(dp["vsum_slot"] < n_vsum,
-                  x_next_ext[dp["vsum_slot"]], y)
+                  _pgather(dp, "vsum_slot", x_next), y)
 
-    x2 = _apply_ot(y, dp, apply_ot)
+    x2 = _apply_ot_pg(y, dp, apply_ot)
 
     # --- back substitution -------------------------------------------------
-    x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
-    x2sd = x2_ext[dp["sd_sep_pos"]]
+    x2sd = _pgather(dp, "sd_sep_pos", x2)
     x1 = x1 - _bmm(fac["G"], x2sd)
 
-    src = jnp.concatenate([x1.reshape(-1), x2,
-                           jnp.zeros((1,), dtype=dtype)])
-    return src[dp["node_src"]]
+    src = jnp.concatenate([x1.reshape(-1), x2])
+    return _pgather(dp, "node_src", src)
 
 
 # ---------------------------------------------------------------------------

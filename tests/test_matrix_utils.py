@@ -70,3 +70,59 @@ def test_put_dirichlet():
     # untouched block preserved
     keep = [i for i in range(8) if i not in (2, 5)]
     assert np.allclose(Bd[np.ix_(keep, keep)], A.toarray()[np.ix_(keep, keep)])
+
+
+def test_drop_by_value_all_seven_modes():
+    """Every DropType of the reference (src/HYMLS_MatrixUtils.hpp:51-65)
+    against hand-computed expectations on one small matrix."""
+    import numpy as np
+    import scipy.sparse as sp
+    from hymls_tpu.utils.matrix import drop_by_value
+
+    # rows: 0 has big diag + tiny off; 1 has tiny diag + big off;
+    # 2 has NO diag entry + mixed offs; tol = 0.1
+    #     [ 2.0   0.05   0    ]
+    #     [ 0.5   0.01   0    ]
+    #     [ 0.05  0      0.5p ]   (row 2: a20=0.05, a21... use col 1)
+    A = sp.csr_matrix(np.array([[2.0, 0.05, 0.0],
+                                [0.5, 0.01, 0.0],
+                                [0.05, 0.3, 0.0]]))
+    tol = 0.1
+
+    def entries(B):
+        B = B.tocoo()
+        return {(int(r), int(c)): float(v)
+                for r, c, v in zip(B.row, B.col, B.data)}
+
+    # Absolute: drop |aij| <= 0.1 everywhere (diag included)
+    e = entries(drop_by_value(A, tol, "Absolute"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (2, 1): 0.3}
+
+    # AbsZeroDiag: like Absolute but small diagonals become explicit 0
+    e = entries(drop_by_value(A, tol, "AbsZeroDiag"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (1, 1): 0.0, (2, 1): 0.3}
+
+    # AbsFullDiag: additionally every row gets an explicit diagonal
+    e = entries(drop_by_value(A, tol, "AbsFullDiag"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (1, 1): 0.0, (2, 1): 0.3,
+                 (2, 2): 0.0}
+
+    # Relative: drop |aij| <= tol*max(|aii|,|ajj|); diagonal never
+    # dropped.  a01: 0.05 <= 0.1*max(2.0, 0.01)=0.2 -> drop;
+    # a10: 0.5 > 0.2 -> keep; a20: 0.05 <= 0.1*max(0, 2.0) -> drop;
+    # a21: 0.3 > 0.1*max(0, 0.01) -> keep.
+    e = entries(drop_by_value(A, tol, "Relative"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (1, 1): 0.01, (2, 1): 0.3}
+
+    # RelDropDiag: Relative off-diagonals, absolute rule deletes a11
+    e = entries(drop_by_value(A, tol, "RelDropDiag"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (2, 1): 0.3}
+
+    # RelZeroDiag: a11 kept as explicit 0.0
+    e = entries(drop_by_value(A, tol, "RelZeroDiag"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (1, 1): 0.0, (2, 1): 0.3}
+
+    # RelFullDiag: plus the missing (2,2) diagonal as explicit 0.0
+    e = entries(drop_by_value(A, tol, "RelFullDiag"))
+    assert e == {(0, 0): 2.0, (1, 0): 0.5, (1, 1): 0.0, (2, 1): 0.3,
+                 (2, 2): 0.0}

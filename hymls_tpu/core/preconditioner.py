@@ -262,10 +262,21 @@ def _device_level(plan: LevelPlan, dtype,
               "w_pos": plan.n_sep,
               "ot_row_of": int(plan.w_pos.shape[0]),
               "ot_inv_idx": int(np.prod(plan.w_vals.shape))}
+    # sort keys are pattern-derived and expensive at 3D sizes (argsort
+    # over GB-scale maps on a 1-core host) — memoize them on the plan
+    # object so the persistent plan cache carries them across processes
+    kcache = getattr(plan, "_skeys_cache", None)
+    if kcache is None:
+        kcache = {}
+        plan._skeys_cache = kcache
     for f, src in src_of.items():
         g = np.asarray(getattr(plan, f))
         if g.size and want_sort_perm(g.size, src):
-            k = perm_sort_plan(g, src)
+            if f in kcache:
+                k = kcache[f]
+            else:
+                k = perm_sort_plan(g, src)
+                kcache[f] = k
             if k is not None:
                 d[f + "_skeys"] = jnp.asarray(k)
     return d
@@ -753,14 +764,17 @@ class Preconditioner:
 
             self.coarse_plan = build_coarse_plan(pattern, nodes,
                                                  self.fix_gids)
-            # only persist expensive builds: the test suite's many tiny
-            # configs would otherwise litter the cache for no gain
-            if _time.perf_counter() - _t_build > 5.0:
-                _plan_cache_store(key, (self.plans, self.hierarchies,
-                                        self.coarse_plan,
-                                        self._level_parts))
         self._build_device_plans()
         self._init_structured()
+        if cached is None and _time.perf_counter() - _t_build > 5.0:
+            # persist AFTER the device-plan build so the memoized sort
+            # keys (plan._skeys_cache, computed on TPU backends) ride
+            # the cache too; only expensive builds are stored — the
+            # test suite's many tiny configs would otherwise litter
+            # the cache for no gain
+            _plan_cache_store(key, (self.plans, self.hierarchies,
+                                    self.coarse_plan,
+                                    self._level_parts))
         self._initialized = True
 
     def _plan_cache_key(self) -> Optional[str]:

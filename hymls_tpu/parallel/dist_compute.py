@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.dense import inv_newton as _inv
+from ..core.dense import inv_newton as _inv, inv_chain as _inv_chain
 from ..core.preconditioner import _coarse_factor
 from .halo_vcycle import (UnshardableError, _Exchange, _build_exchange,
                           _finalize_sends, _recv_offsets_table, _cat0,
@@ -337,13 +337,19 @@ class DistributedCompute:
         self.mesh = mesh
         self.axis = axis = mesh.axis_names[0]
         ndev = mesh.size
-        if precond._upcast:
-            raise UnshardableError(
-                "distributed factor does not support the f64-assembly/"
-                "f32-store chain yet")
+        # factor-upcast mode (f64 assembly, f32 store — the production
+        # mixed-precision chain, core/preconditioner._compute_level):
+        # the per-shard values chain A11inv -> G -> T11 -> SC -> next
+        # level runs in factor_dtype, blkinv/coarse invert directly in
+        # the store dtype, and the returned factors are cast to the
+        # apply dtype (mirrors Preconditioner._wrap_compute).
+        self._upcast = precond._upcast
+        self._fdt = np.dtype(precond.factor_dtype)
+        self._adt = precond.dtype
+        store = precond.dtype if precond._upcast else None
         fplans, coarse, meta = build_factor_plans(precond, ndev)
         self.meta = meta
-        dtype = precond.dtype
+        dtype = precond.factor_dtype
         self.fplans = []
         for dnp in fplans:
             dd = {}
@@ -394,7 +400,7 @@ class DistributedCompute:
                 ni = A11.shape[-1]
                 A11 = A11 + jnp.eye(ni, dtype=A11.dtype)[None] * \
                     (~fp["int_mask"])[:, :, None]
-                A11inv = _inv(A11)
+                A11inv = _inv(A11) if store is None else _inv_chain(A11)
                 A12 = src_ext[fp["A12_idx"]]
                 A21 = src_ext[fp["A21_idx"]]
                 A22 = src_ext[fp["A22_idx"]]
@@ -424,6 +430,10 @@ class DistributedCompute:
                 zr = jnp.sum(jnp.abs(Bb), axis=-1) == 0
                 Bb = Bb + jnp.eye(mb, dtype=Bb.dtype)[None] * \
                     zr[:, :, None]
+                # non-Vsum blocks feed only the apply: invert directly
+                # in the store dtype (core/preconditioner._compute_level)
+                if store is not None:
+                    Bb = Bb.astype(store)
                 blkinv = _inv(Bb)
 
                 nxt_raw = sc_ext[fp["nx_pos"]]
@@ -463,7 +473,8 @@ class DistributedCompute:
                     vals_g = _cat0(allv)[coarse_vsrc]
                     coarse = _coarse_factor(
                         vals_g, dcoarse["rows"], dcoarse["cols"],
-                        dcoarse["diag_entry"], dcoarse["fix_rows"], cp_n)
+                        dcoarse["diag_entry"], dcoarse["fix_rows"], cp_n,
+                        store_dtype=store)
             return {"levels": facs, "coarse": coarse}
 
         pspec = [jax.tree.map(lambda _: P(axis), fp)
@@ -479,5 +490,15 @@ class DistributedCompute:
         self.dcoarse = dco
 
     def compute(self, vals):
-        """vals (nnz,) replicated -> halo-layout factors (sharded)."""
-        return self.compute_sm(vals, self.fplans, self.dcoarse)
+        """vals (nnz,) replicated -> halo-layout factors (sharded).
+
+        Dtype-normalizing like Preconditioner._wrap_compute: values are
+        cast to factor_dtype on the way in; in upcast mode the returned
+        factor pytree is cast to the apply dtype."""
+        fac = self.compute_sm(vals.astype(self._fdt), self.fplans,
+                              self.dcoarse)
+        if not self._upcast:
+            return fac
+        adt = self._adt
+        return jax.tree.map(
+            lambda x: x.astype(adt) if x.dtype == self._fdt else x, fac)

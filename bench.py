@@ -374,6 +374,38 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     Kp.data = Kp.data * final_scale
     relres = float(np.linalg.norm(Kp @ xh - b) / np.linalg.norm(b))
 
+    # factor-vs-solve decomposition (VERDICT r3 task 1: "decompose the
+    # step"): delta-time the factor-only program when the case budget
+    # allows the extra compile; solve_s = step - factor
+    factor_s = None
+    budget_left = float(os.environ.get("BENCH_CASE_BUDGET_S", "1e9"))
+    if not big and budget_left - (time.time() - _T0) > 300:
+        try:
+            P = S.precond
+            compute = P._compute_pure
+            dpl, ext, apl = P._dplans, P._extra_plan, P._aplans
+            afac0 = P.apply_factors_from_pure(
+                compute(vals64, dpl, ext), apl)
+
+            def factor_steps(niter, s0, afac):
+                def fbody(i, carry):
+                    s64 = s0 + 1e-6 * i.astype(jnp.float64)
+                    fac = compute(vals64 * s64, dpl, ext)
+                    return P.apply_factors_from_pure(fac, apl)
+                return lax.fori_loop(0, niter, fbody, afac)
+
+            ffjit = jax.jit(factor_steps)
+            sync(ffjit(1, one, afac0))
+            tf = {}
+            for nit in (1, reps + 1):
+                t0 = time.perf_counter()
+                sync(ffjit(nit, one, afac0))
+                tf[nit] = time.perf_counter() - t0
+            factor_s = max((tf[reps + 1] - tf[1]) / reps, 1e-9)
+            _progress(f"  factor-only: {factor_s:.4f} s/step")
+        except Exception as e:   # pragma: no cover - bench resilience
+            _progress(f"  factor-only timing failed: {e!r}")
+
     base_secs, base_relres, base_timed_out = baseline
     baseline = {"method": "scipy SuperLU factor+solve (serial CPU)",
                 "seconds": round(base_secs, 5),
@@ -401,6 +433,21 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "peak_assumption": "v5e: 49.2 f32 TFLOP/s (bf16 197/4), "
                            "819 GB/s HBM",
     }
+    if factor_s is not None:
+        solve_s = max(elapsed - factor_s, 1e-9)
+        # solve-phase HBM traffic model: per inner iteration one f32
+        # V-cycle apply (apply_bytes/2) + one f32 SpMV (vals+idx+vec)
+        spmv_bytes = 8.0 * K.nnz + 8.0 * K.shape[0]
+        solve_gb = max(inner_iters, 1) * (fm["apply_bytes"] / 2 +
+                                          spmv_bytes) / 1e9
+        gbps = solve_gb / solve_s
+        cost_model.update({
+            "factor_s": round(factor_s, 5),
+            "solve_s": round(solve_s, 5),
+            "solve_est_gbps": round(gbps, 1),
+            "solve_pct_hbm_roofline": round(100 * gbps / PEAK_HBM_GBPS,
+                                            1),
+        })
 
     result = {
         "value": round(elapsed, 5),
@@ -582,6 +629,59 @@ def _run_case(name):
         params = _stokes_params(64, 2, 1, "Cartesian")
         return _bench_apply_modes(params, K, b)
 
+    if name == "pallas_spmv":
+        # the Pallas-vs-XLA DIA SpMV decision artifact (VERDICT r2 #9 /
+        # r3 #8): one production-scale stencil, recorded speedup +
+        # parity error; the 'Use Pallas SpMV' flag default follows this
+        from jax import lax
+        from hymls_tpu.ops.spmv import DiaOperator
+        from hymls_tpu.ops.pallas_spmv import PallasDiaMatvec
+        from hymls_tpu.stencils import stokes2d
+
+        K = stokes2d(128, 128)
+        op = DiaOperator(K.tocsr(), dtype=jnp.float32)
+        bands = op.prepare(op.vals)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.standard_normal(op.n), jnp.float32)
+
+        def time_loop(step, reps=400):
+            def loop(niter, y):
+                return lax.fori_loop(
+                    0, niter, lambda i, z: step(z) + 1e-30 * i, y)
+
+            fjit = jax.jit(loop)
+            sync(fjit(1, x0))
+            t = {}
+            for nit in (1, reps + 1):
+                t0 = time.perf_counter()
+                sync(fjit(nit, x0))
+                t[nit] = time.perf_counter() - t0
+            return max((t[reps + 1] - t[1]) / reps, 1e-9)
+
+        t_xla = time_loop(lambda x: op.matvec_prepared(bands, x))
+        if not PallasDiaMatvec.fits(op.offsets, op.n):
+            return {"error": "pallas kernel does not fit vmem",
+                    "xla_us": round(t_xla * 1e6, 2)}
+        pk = PallasDiaMatvec(op.offsets, op.n)
+        t_pal = time_loop(lambda x: pk(bands, x))
+        y0 = np.asarray(op.matvec_prepared(bands, x0))
+        y1 = np.asarray(pk(bands, x0))
+        err = float(np.abs(y1 - y0).max() / max(np.abs(y0).max(), 1e-30))
+        win = t_xla / t_pal
+        return {
+            "value": round(t_pal * 1e6, 2),
+            "unit": "us/spmv",
+            "vs_baseline": round(win, 3),
+            "baseline": {"method": "XLA shifted-slice DIA SpMV "
+                                   "(same device)",
+                         "us": round(t_xla * 1e6, 2)},
+            "n": op.n, "bands": len(op.offsets),
+            "max_rel_err": err,
+            "decision": ("default ON (wins >=1.1x at parity)"
+                         if win >= 1.1 and err < 1e-6 else
+                         "keep opt-in (no material win)"),
+        }
+
     if name == "stokesB_64":
         # the B-grid flagship runs Apply Dropping=false through the
         # generic gather path (no structured fast path by design —
@@ -607,14 +707,61 @@ def _run_case(name):
     raise ValueError(f"unknown case {name!r}")
 
 
-# headline first, then the remaining CPU-baseline ratio cases in
-# ascending cost (wall-clock-ratio metrics land before the expensive
-# ones), then the 3D skew case (most expensive + the only observed
-# TPU-worker-crash mode), then the device-internal apply-mode
-# comparison — budget exhaustion starves the bonus case, not a ratio
-CASE_ORDER = ["cavity64_Re1000", "stokesB_64", "cavity128_Re0",
-              "stokes128_L2", "stokes32cube_skew_L2",
-              "structured_vs_generic_apply"]
+# headline first; then the two cases that were budget-starved in
+# BENCH_r01..r03 get RESERVED slices (VERDICT r3 task 3): the 32^3 case
+# second while the budget is fresh, the apply-mode + pallas-decision
+# micro-cases third (cheap, device-internal); the remaining ratio cases
+# run inside per-case caps so no one case can starve the rest
+CASE_ORDER = ["cavity64_Re1000", "stokes32cube_skew_L2",
+              "structured_vs_generic_apply", "pallas_spmv",
+              "cavity128_Re0", "stokes128_L2", "stokesB_64"]
+
+# per-case wall-clock caps (seconds): bound each child so later cases
+# always get a slot; warm-cache runs finish far below these
+CASE_CAP_S = {"cavity64_Re1000": 240, "stokes32cube_skew_L2": 400,
+              "structured_vs_generic_apply": 120, "pallas_spmv": 90,
+              "cavity128_Re0": 240, "stokes128_L2": 240,
+              "stokesB_64": 150}
+
+
+_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH.json")
+
+
+def _assemble_result(cases, t_all, device):
+    head = cases.get("cavity64_Re1000", {})
+    return {
+        "metric": "cavity64_Re1000_factor_plus_solve",
+        "value": head.get("value", -1.0),
+        "unit": "seconds",
+        "vs_baseline": head.get("vs_baseline", 0.0),
+        "extra": {
+            "vs_baseline_semantics":
+                "baseline_seconds / our_seconds (>1 = faster than the "
+                "live-measured serial-CPU SuperLU direct factor+solve "
+                "of the same system on this host); value = device "
+                "seconds per fused Newton step (factor+repack+solve), "
+                "extra.cases[*].per_dispatch_s = wall-clock including "
+                "the remote-tunnel launch overhead",
+            "device": device,
+            "path": "structured f32 factor + fused f32-Krylov/f64-IR",
+            "bench_wall_s": round(time.time() - t_all, 1),
+            "cases": cases,
+        },
+    }
+
+
+def _write_artifact(cases, t_all, device, final):
+    """Persist the full result to BENCH.json after every case: the
+    stdout tail can truncate (BENCH_r03 lost the headline value to the
+    driver's 2000-char capture), the disk artifact cannot."""
+    try:
+        result = _assemble_result(cases, t_all, device)
+        result["extra"]["complete"] = final
+        with open(_ARTIFACT, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:     # pragma: no cover - bench resilience
+        pass
 
 
 def main():
@@ -639,21 +786,25 @@ def main():
 
     for name in CASE_ORDER:
         remaining = budget - (time.time() - t_all)
-        if cases and remaining < 100:
+        if cases and remaining < 60:
             cases[name] = {"error": "bench budget exhausted"}
             continue
         # each case in its own subprocess: a TPU worker crash must not
         # poison the remaining cases (observed once: 32^3 f64
-        # full-basis solve "kernel fault").  The child timeout never
-        # exceeds the remaining budget (+grace) so the total wall-clock
-        # stays bounded by budget + grace.
+        # full-basis solve "kernel fault").  Per-case caps (CASE_CAP_S)
+        # bound every child so a slow early case can never starve the
+        # later ones (BENCH_r01..r03 lost the 32^3 and apply-mode cases
+        # to exactly that); the cap never exceeds the remaining budget
+        # (+grace) so the total stays bounded by budget + grace.
+        case_budget = min(max(remaining, 120),
+                          CASE_CAP_S.get(name, 240))
         try:
             env = dict(os.environ,
-                       BENCH_CASE_BUDGET_S=str(max(remaining, 120)))
+                       BENCH_CASE_BUDGET_S=str(case_budget))
             proc = subprocess.run(
                 [sys.executable, here, "--case", name],
                 stdout=subprocess.PIPE, stderr=None, env=env,
-                timeout=max(remaining, 120) + 30)
+                timeout=case_budget + 30)
             lines = [l for l in proc.stdout.decode().splitlines()
                      if l.startswith("{")]
             if lines:
@@ -678,28 +829,11 @@ def main():
                 cases[name] = {"error": "case subprocess timeout"}
         except Exception as e:      # pragma: no cover - bench resilience
             cases[name] = {"error": repr(e)}
+        _write_artifact(cases, t_all, device, final=False)
 
-    head = cases.get("cavity64_Re1000", {})
-    result = {
-        "metric": "cavity64_Re1000_factor_plus_solve",
-        "value": head.get("value", -1.0),
-        "unit": "seconds",
-        "vs_baseline": head.get("vs_baseline", 0.0),
-        "extra": {
-            "vs_baseline_semantics":
-                "baseline_seconds / our_seconds (>1 = faster than the "
-                "live-measured serial-CPU SuperLU direct factor+solve "
-                "of the same system on this host); value = device "
-                "seconds per fused Newton step (factor+repack+solve), "
-                "extra.cases[*].per_dispatch_s = wall-clock including "
-                "the remote-tunnel launch overhead",
-            "device": device,
-            "path": "structured f32 factor + fused f32-Krylov/f64-IR",
-            "bench_wall_s": None,       # filled below
-            "cases": cases,
-        },
-    }
-    result["extra"]["bench_wall_s"] = round(time.time() - t_all, 1)
+    _write_artifact(cases, t_all, device, final=True)
+    result = _assemble_result(cases, t_all, device)
+    result["extra"]["artifact"] = _ARTIFACT
     print(json.dumps(result))
 
 

@@ -212,6 +212,68 @@ class DistributedSolve:
         """Fully distributed factorization (pure; requires dcompute)."""
         return self.dcompute.compute(vals)
 
+    # --- augmented (bordered) layout -------------------------------------
+    # The bordered system [K V; W' C] iterates on flat vectors of shape
+    # (ndev*(L+m),): each shard holds [x_l (L slots), s/sqrt(ndev) (m
+    # slots)].  Replicating the tail scaled by 1/sqrt(ndev) makes the
+    # global norm/dot of the flat vector equal the augmented one
+    # (||z||^2 = ||x||^2 + ndev*(||s||^2/ndev)), so the unmodified
+    # GMRES kernel runs the bordered iteration distributed (reference
+    # BorderedVector MultiVecTraits, src/HYMLS_BorderedVector.hpp:23-80,
+    # whose norms also fold the replicated border tail in once).
+    def make_aug(self, m: int):
+        """Build the split/join/scatter helpers for an m-column border;
+        returns a small namespace object (pure fns, composable in jit)."""
+        L = self.L
+        ndev = self.mesh.size
+        axis = self.axis
+        mesh = self.mesh
+        sq = float(np.sqrt(ndev))
+        scatter = self.scatter
+        gather = self.gather
+
+        def split_local(z_l):
+            return z_l[:L], z_l[L:]
+
+        split_sm = jax.shard_map(
+            split_local, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis)), check_vma=False)
+
+        def join_local(x_l, s):
+            return jnp.concatenate([x_l, s / sq])
+
+        join_sm = jax.shard_map(
+            join_local, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=P(axis), check_vma=False)
+
+        class _Aug:
+            @staticmethod
+            def split(z):
+                """z -> (x_flat (ndev*L,), s (m,) replicated)."""
+                x_fl, t_fl = split_sm(z)
+                s = jnp.sum(t_fl.reshape(ndev, m), axis=0) / sq
+                return x_fl, s
+
+            @staticmethod
+            def join(x_fl, s):
+                return join_sm(x_fl, s)
+
+            @staticmethod
+            def scatter_aug(b, t):
+                return join_sm(scatter(b), t)
+
+            @staticmethod
+            def gather_aug(z):
+                x_fl, s = _Aug.split(z)
+                return gather(x_fl), s
+
+            @staticmethod
+            def scatter_cols(V):
+                """(n, m) columns -> (ndev*L, m) owner layout."""
+                return jax.vmap(scatter, in_axes=1, out_axes=1)(V)
+
+        return _Aug
+
 
 def make_distributed_solve(K, precond, mesh) -> DistributedSolve:
     """Build the distributed operator/preconditioner pair; raises

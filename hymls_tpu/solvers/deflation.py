@@ -70,16 +70,32 @@ def compute_deflation_space(apply_prec: Callable, n: int, num_eigs: int,
 def compute_deflation_space_device(apply_col: Callable, n: int,
                                    num_eigs: int, dtype,
                                    iters: int = 60, oversample: int = 6,
-                                   seed: int = 12345) -> np.ndarray:
+                                   seed: int = 12345,
+                                   rtol: Optional[float] = None,
+                                   _info: Optional[dict] = None
+                                   ) -> np.ndarray:
     """Dominant eigenspace of P^{-1}(M) by blocked subspace iteration
     with a Rayleigh-Ritz extraction — the whole Arnoldi-style loop is
-    ONE compiled program (vmapped V-cycle applies inside lax.fori_loop)
+    ONE compiled program (vmapped V-cycle applies inside lax.while_loop)
     instead of the reference's host-driven Anasazi loop; per-matvec
     host round trips are pathological over a remote-TPU tunnel.
 
+    The loop is RESIDUAL-GATED (the reference's Anasazi BKS iterates to
+    a convergence tolerance, src/HYMLS_DeflatedSolver.cpp:247-310, not
+    a fixed count): each iteration measures the block-invariance
+    residual ||Z - Q(Q'Z)||_F / ||Q'Z||_F over the leading `num_eigs`
+    columns (subspace iteration orders columns by descending |λ|) and
+    stops when it drops under `rtol` — easy spectra converge in a few
+    applies, hard ones still get the full `iters` cap.  The deflation
+    algebra is exact for ANY orthonormal V (R/D are recomputed from V),
+    so rtol only controls how well V spans the slow modes.
+
     `apply_col` must be a pure jax (n,) -> (n,) function (the
-    preconditioner apply, optionally pre-composed with the mass op)."""
+    preconditioner apply, optionally pre-composed with the mass op).
+    `_info`, when a dict, receives {'applies', 'rel'} diagnostics."""
     kp = int(min(num_eigs + oversample, max(n - 2, 1)))
+    if rtol is None:
+        rtol = 1e-5 if np.dtype(dtype) == np.float64 else 1e-4
     rng = np.random.default_rng(seed)
     Q0 = np.linalg.qr(rng.standard_normal((n, kp)))[0]
 
@@ -87,17 +103,32 @@ def compute_deflation_space_device(apply_col: Callable, n: int,
 
     @jax.jit
     def run(Q):
-        def body(_, Q):
+        def cond(state):
+            _, it, rel = state
+            return (it < iters) & (rel > rtol)
+
+        def body(state):
+            Q, it, _ = state
             Z = apply_block(Q)
+            H = Q.T @ Z                  # Rayleigh-Ritz (nonsymmetric)
+            Rres = Z[:, :num_eigs] - Q @ H[:, :num_eigs]
+            rel = jnp.linalg.norm(Rres) / jnp.maximum(
+                jnp.linalg.norm(H[:, :num_eigs]), 1e-30)
             Qn, _r = jnp.linalg.qr(Z)
-            return Qn
+            return Qn, it + 1, rel
 
-        Q = lax.fori_loop(0, iters, body, Q)
+        big = jnp.asarray(jnp.inf, Q.dtype)
+        Q, it, rel = lax.while_loop(
+            cond, body, (Q, jnp.asarray(0, jnp.int32), big))
         Z = apply_block(Q)
-        H = Q.T @ Z                      # Rayleigh-Ritz (nonsymmetric)
-        return Q, H
+        H = Q.T @ Z
+        return Q, H, it, rel
 
-    Q, H = run(jnp.asarray(Q0, dtype))
+    Q, H, it, rel = run(jnp.asarray(Q0, dtype))
+    if _info is not None:
+        # +1: the final Ritz extraction costs one more block apply
+        _info["applies"] = (int(it) + 1) * kp
+        _info["rel"] = float(rel)
     Q, H = np.asarray(Q, np.float64), np.asarray(H, np.float64)
     vals, vecs = np.linalg.eig(H)
     order = np.argsort(-np.abs(vals), kind="stable")

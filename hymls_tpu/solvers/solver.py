@@ -82,6 +82,9 @@ class Solver:
         BorderedSolver; used e.g. to pin a nullspace such as the
         constant pressure mode)."""
         self.precond.set_border(V, W, C)
+        # the halo apply captures the bordered factors at build time:
+        # force a rebuild so the distributed path picks up the border
+        self._dist = None
         if V is None:
             self._border = None
         else:
@@ -119,6 +122,13 @@ class Solver:
             bord_fn = self.precond._apply_bordered_pure
             n = self.op.n
             m = self._border[0].shape[1]
+
+            if self.distributed:
+                dist = self._make_dist()
+                if dist is not None and \
+                        getattr(dist.app, "prec_sm_flat_b", None) is not None:
+                    self._build_solve_bordered_dist(dist, n, m)
+                    return
 
             prepare = self.op.prepare
 
@@ -195,6 +205,56 @@ class Solver:
                 return krylov.cg(op, b, x0, prec, tol=tol, maxiter=maxiter)
             return krylov.gmres(op, b, x0, prec, tol=tol, maxiter=maxiter,
                                 left=left, restart=restart)
+
+        self._solve_jit = jax.jit(solve)
+
+    def _build_solve_bordered_dist(self, dist, n, m):
+        """Bordered GMRES in the owner-sharded halo layout: augmented
+        vectors ride the flat (ndev*(L+m),) layout (dist.make_aug), the
+        x-part communicates by ppermute halo exchange and the m-tail by
+        one psum per operator/preconditioner apply — matching the
+        reference's distributed bordered solve where the border
+        coefficients are reduced with SumAll
+        (src/HYMLS_BorderedSolver.cpp:173-219,
+        src/HYMLS_CoarseSolver.cpp:454-564)."""
+        method = self.method
+        tol = self.tol
+        maxiter = self.maxiter
+        left = self.lor == "Left"
+        restart = self.restart
+        aug = dist.make_aug(m)
+        bord_sm = dist.app.prec_sm_flat_b
+        dpl = dist.dplans
+
+        def solve(vals, factors, dplans, border, b, tvec, x0):
+            V, W, C = border
+            pvals = dist.prepare(vals)
+            fac_st = dist.stack_factors(factors)
+            V_st = aug.scatter_cols(V)
+            W_st = aug.scatter_cols(W)
+            bz = aug.scatter_aug(b, tvec)
+            x0z = aug.scatter_aug(x0, jnp.zeros((m,), dtype=b.dtype))
+
+            def op(z):
+                x_fl, s = aug.split(z)
+                y_fl = dist.matvec(pvals, x_fl) + V_st @ s
+                tau = W_st.T @ x_fl + C @ s
+                return aug.join(y_fl, tau)
+
+            def prec(z):
+                x_fl, tau = aug.split(z)
+                x_out, S = bord_sm(fac_st, dpl, x_fl, tau)
+                return aug.join(x_out, S)
+
+            if method == "CG":
+                res = krylov.cg(op, bz, x0z, prec, tol=tol,
+                                maxiter=maxiter)
+            else:
+                res = krylov.gmres(op, bz, x0z, prec, tol=tol,
+                                   maxiter=maxiter, left=left,
+                                   restart=restart)
+            x, s = aug.gather_aug(res.x)
+            return res._replace(x=jnp.concatenate([x, s]))
 
         self._solve_jit = jax.jit(solve)
 
@@ -294,8 +354,10 @@ class Solver:
                 x, sb = bord_fn(factors, dplans, zx, zs)
                 return jnp.concatenate([x, sb])
 
+        self._defl_info = {}
         V = _defl.compute_deflation_space_device(apply_col, n_aug, k,
-                                                 self.dtype)
+                                                 self.dtype,
+                                                 _info=self._defl_info)
         Vj = jnp.asarray(V, self.dtype)
         self._build_proj_solve(aug=self._border is not None)
 
@@ -347,9 +409,44 @@ class Solver:
                 return krylov.gmres(op, b, jnp.zeros_like(b), prec,
                                     tol=tol, maxiter=maxiter, left=left)
 
-            self._solve_proj_jit = jax.jit(solve)
+            dist = self._make_dist() if self.distributed else None
+            if dist is not None:
+                # deflated iteration distributed: the deflation basis is
+                # scattered into the owner layout once, the projectors
+                # are sharded dots (GSPMD psum), and the operator/
+                # preconditioner ride the halo plans (reference: the
+                # DeflatedSolver's ProjectedOperator applies over
+                # distributed multivectors, src/HYMLS_DeflatedSolver.cpp:159-245)
+                dpl = dist.dplans
+
+                def solve_dist(vals, factors, dplans, V, b):
+                    pvals = dist.prepare(vals)
+                    fac_st = dist.stack_factors(factors)
+                    V_st = jax.vmap(dist.scatter, in_axes=1,
+                                    out_axes=1)(V)
+                    b_st = dist.scatter(b)
+
+                    def proj(x):
+                        return x - V_st @ (V_st.T @ x)
+
+                    def op(x):
+                        return proj(dist.matvec(pvals, proj(x)))
+
+                    def prec(x):
+                        return proj(dist.precond(fac_st, dpl, x))
+
+                    res = krylov.gmres(op, b_st, jnp.zeros_like(b_st),
+                                       prec, tol=tol, maxiter=maxiter,
+                                       left=left)
+                    return res._replace(x=dist.gather(res.x))
+
+                self._solve_proj_jit = jax.jit(solve_dist)
+            else:
+                self._solve_proj_jit = jax.jit(solve)
             # all k deflation-setup columns in one program (vmap masks
-            # the while_loop until every column converges)
+            # the while_loop until every column converges); setup stays
+            # replicated — it runs once, the projected solves per rhs
+            # are the hot path
             self._solve_proj_multi_jit = jax.jit(jax.vmap(
                 solve, in_axes=(None, None, None, None, 0)))
             return

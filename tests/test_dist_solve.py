@@ -213,6 +213,96 @@ def test_dist_mixed_newton_step(ndev):
         f"inner iters {int(r.iters)} vs replicated {int(r0.iters)}"
 
 
+def test_dist_bordered_solve():
+    """Distributed bordered GMRES: the augmented system [K V; W' C]
+    iterates in the flat (ndev*(L+m),) owner layout with the m-tail
+    replicated per shard (scaled 1/sqrt(ndev) so norms are exact) —
+    iteration identity + solution parity vs the replicated bordered
+    solve (reference src/HYMLS_BorderedSolver.cpp:173-219 runs the
+    bordered iteration over distributed vectors)."""
+    K, P0, S0 = _build(32, 2, "Stokes-C", maxiter=200)
+    n = K.shape[0]
+    # constant-pressure null space as the border (the reference's
+    # standard bordered use, testSuite cavity configs)
+    from hymls_tpu.stencils import create_matrix  # noqa: F401
+    V = np.zeros((n, 1))
+    V[2::3, 0] = 1.0
+    V /= np.linalg.norm(V)
+    rng = np.random.default_rng(7)
+    b = K @ rng.standard_normal(n)
+    S0.set_border(V)
+    x_ref, res_ref = S0.apply_inverse(b)
+    s_ref = S0._border_coeffs
+
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        K2, P2, S = _build(32, 2, "Stokes-C", dist=True, maxiter=200)
+        S.set_border(V)
+        x, res = S.apply_inverse(b)
+        assert S._dist is not None, "distributed path did not activate"
+        assert getattr(S._dist.app, "prec_sm_flat_b", None) is not None
+        s = S._border_coeffs
+    finally:
+        set_mesh(None)
+    assert int(res.iters) == int(res_ref.iters)
+    xn, xr = np.asarray(x), np.asarray(x_ref)
+    scale = np.abs(xr).max()
+    assert np.abs(xn - xr).max() / scale < 1e-6
+    assert np.abs(np.asarray(s) - np.asarray(s_ref)).max() < 1e-6 * scale
+
+
+def test_dist_deflated_solve():
+    """Distributed deflated solve: the deflation projectors run as
+    sharded dots (GSPMD psum) around the halo operator/V-cycle —
+    same converged solution as the replicated deflated solve
+    (reference src/HYMLS_DeflatedSolver.cpp:159-245)."""
+    from hymls_tpu.stencils.generators import _cross2d
+
+    nx, eps = 32, 0.01
+    K = -_cross2d(nx, nx, 2 + 2 * eps, -1.0, -1.0, -eps, -eps)
+
+    def build(dist):
+        params = Params({
+            "Problem": {"Equations": "Laplace", "Dimension": 2,
+                        "nx": nx, "ny": nx},
+            "Solver": {"Krylov Method": "GMRES",
+                       "Initial Vector": "Zero",
+                       "Distributed Apply": dist,
+                       "Deflated Subspace Dimension": 8,
+                       "Iterative Solver": {"Maximum Iterations": 100,
+                                            "Convergence Tolerance":
+                                                1e-10}},
+            "Preconditioner": {"Separator Length": 4,
+                               "Number of Levels": 2,
+                               "Structured Apply": False},
+        })
+        tv = create_testvector(params, K)
+        P = Preconditioner(K, params, testvector=tv).compute()
+        S = Solver(K, P, params)
+        S.setup_deflation()
+        return S
+
+    rng = np.random.default_rng(5)
+    x_ex = rng.standard_normal(K.shape[0])
+    b = K @ x_ex
+    S0 = build(False)
+    x_ref, _ = S0.apply_inverse(b)
+
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        S = build(True)
+        assert S._dist is not None, "distributed path did not activate"
+        x, _ = S.apply_inverse(b)
+    finally:
+        set_mesh(None)
+    xn = np.asarray(x)
+    assert np.linalg.norm(xn - x_ex) / np.linalg.norm(x_ex) < 1e-7
+    assert np.abs(xn - np.asarray(x_ref)).max() / \
+        np.abs(np.asarray(x_ref)).max() < 1e-6
+
+
 def test_dist_fallback_unshardable():
     """With no active mesh the solver warns and falls back."""
     K, P, S = _build(16, 1, "Laplace", dist=True)

@@ -44,6 +44,13 @@ def test_deflated_solver():
     relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
     assert relres < 5e-9
     assert np.linalg.norm(x - x_ex) / np.linalg.norm(x_ex) < 1e-7
+    # the subspace iteration is residual-gated: an easy anisotropic
+    # Laplace spectrum must converge well before the 60-iteration cap
+    # (the fixed-count version burned 61 block applies regardless)
+    info = S._defl_info
+    assert info["rel"] <= 1e-5
+    assert info["applies"] < 40 * (8 + 6), \
+        f"subspace iteration did not gate: {info}"
 
 
 def test_complex_solver():

@@ -19,6 +19,8 @@ its static structure, so the choice is baked in at trace time.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -46,9 +48,13 @@ def _batched_inv(A):
     bytes_per = n * n * A.dtype.itemsize
     # TPU scoped vmem for the batched triangular-inverse custom call is
     # ~4.2x the chunk's input bytes against a 16 MiB limit (measured:
-    # f32[155,82,82] = 4.2 MiB input wants 17.66 MiB scoped) — keep
-    # chunks near 1 MiB so the scoped allocation stays ~4 MiB
-    chunk = max(1, (1 << 20) // max(bytes_per, 1))
+    # f32[155,82,82] = 4.2 MiB input wants 17.66 MiB scoped).  Default
+    # chunks target 2 MiB (scoped ~8.4 MiB, half the limit): fewer
+    # lax.map trips than the earlier 1 MiB — the loop plumbing (chunk
+    # copies + dynamic-update-slices) showed up at ~1/3 of the
+    # factor-path inverse cost in the stokes128 xplane trace.
+    chunk_mib = float(os.environ.get("HYMLS_INV_CHUNK_MIB", "2"))
+    chunk = max(1, int(chunk_mib * (1 << 20)) // max(bytes_per, 1))
     if batch <= chunk or not on_accelerator():
         return jnp.linalg.inv(A)
     flat = A.reshape(batch, n, n)

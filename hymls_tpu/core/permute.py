@@ -80,3 +80,33 @@ def apply_sorted_perm(x, keys, m):
         x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
     _, s = jax.lax.sort_key_val(keys, x)
     return s[:m]
+
+
+def perm_scatter_plan(g, src_size: int):
+    """Sentinel-heavy variant of perm_sort_plan: when most of g's slots
+    are sentinels (g[i] >= src_size -> 0.0), the sort strategy still
+    pays an O(len(g))-sized sort moving ~90% zeros.  Re-express the map
+    as (compact sorted permutation at SOURCE size) + (static scatter of
+    the valid slots): out = zeros(m).at[pos].set(x[g[pos]]).  Returns
+    (ckeys, pos) — ckeys a perm_sort_plan over the valid entries only,
+    pos the int32 positions of the valid slots — or None when g is not
+    injective on its valid entries.  Profitable when the valid count is
+    well under len(g) (plan-build picks the strategy per map)."""
+    g = np.asarray(g, np.int64).ravel()
+    valid = g < src_size
+    pos = np.nonzero(valid)[0]
+    used = g[pos]
+    if np.unique(used).size != used.size or pos.size >= 2**31:
+        return None
+    ckeys = perm_sort_plan(used, src_size)
+    if ckeys is None:
+        return None
+    return ckeys, pos.astype(np.int32)
+
+
+def apply_scatter_perm(x, ckeys, pos, m):
+    """Apply a perm_scatter_plan: compact sorted gather of the valid
+    values, then one static unique-index scatter into a zero output."""
+    vals = apply_sorted_perm(x, ckeys, pos.shape[0])
+    return jnp.zeros((m,), x.dtype).at[pos].set(
+        vals, mode="drop", unique_indices=True)

@@ -16,6 +16,7 @@ Usage: python tools/step_decompose.py [case] [reps]
   case in {cavity128, stokes128, cavity64}; default stokes128.
 """
 import json
+import os
 import sys
 import time
 
@@ -73,6 +74,11 @@ def delta_time(fjit, reps, *args):
 def main():
     case = sys.argv[1] if len(sys.argv) > 1 else "stokes128"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sweep_arg = [int(s) for s in sys.argv[3].split(",")] \
+        if len(sys.argv) > 3 else None
+    skip_factor = os.environ.get("DECOMP_SKIP_FACTOR", "") == "1"
+    skip_newton = os.environ.get("DECOMP_SKIP_NEWTON", "") == "1"
+    itol = float(os.environ.get("DECOMP_INNER_TOL", "0") or 0)
     p, K, b = build_case(case)
     from hymls_tpu.stencils import create_testvector
     from hymls_tpu.solvers.mixed import IterativeRefinementSolver
@@ -100,21 +106,25 @@ def main():
 
     afac0 = P.apply_factors_from_pure(
         compute(vals64, dplans, extra), aplans)
-    fjit = jax.jit(factor_steps)
-    t_factor = delta_time(fjit, reps, jnp.float64(1.0), afac0)
-    out["factor_s"] = round(t_factor, 5)
-    log(f"factor-only: {t_factor:.4f} s/step")
+    if not skip_factor:
+        fjit = jax.jit(factor_steps)
+        t_factor = delta_time(fjit, reps, jnp.float64(1.0), afac0)
+        out["factor_s"] = round(t_factor, 5)
+        log(f"factor-only: {t_factor:.4f} s/step")
 
     # ---- full newton + solve-only per inner basis size ---------------
-    sweep = {"cavity64": [16, 32, 48, 64],
-             }.get(case, [48, 64, 96, 128, 192])
+    sweep = sweep_arg or {"cavity64": [16, 32, 48, 64],
+                          }.get(case, [48, 64, 96, 128, 192])
     out["sweep"] = []
     for m in sweep:
         S.inner_maxiter = m
+        if itol:
+            S.inner_tol = itol
         S._fused_jit = None
         S._build_fused()
         fused = S._fused_fn
-        newton_fn, *_ = S.newton_step_fn()
+        if not skip_newton:
+            newton_fn, *_ = S.newton_step_fn()
 
         def solve_steps(niter, afac):
             def fbody(i, carry):
@@ -141,14 +151,19 @@ def main():
         sj = jax.jit(solve_steps)
         t_solve = delta_time(sj, reps, afac0)
         x, iters, relres = jax.device_get(sj(1, afac0))
-        nj = jax.jit(newton_steps)
-        t_newton = delta_time(nj, reps, jnp.float64(1.0))
+        if skip_newton:
+            t_newton = float("nan")
+        else:
+            nj = jax.jit(newton_steps)
+            t_newton = delta_time(nj, reps, jnp.float64(1.0))
         row = {"inner_maxiter": m,
+               "inner_tol": S.inner_tol,
                "solve_s": round(float(t_solve), 5),
                "newton_s": round(float(t_newton), 5),
                "inner_iters": int(iters),
                "relres": float(relres)}
         out["sweep"].append(row)
+        print(json.dumps(row), flush=True)     # crash-safe partials
         log(f"m={m}: solve {t_solve:.4f}s newton {t_newton:.4f}s "
             f"inner_iters={int(iters)} relres={float(relres):.2e}")
 

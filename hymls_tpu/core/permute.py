@@ -82,6 +82,26 @@ def apply_sorted_perm(x, keys, m):
     return s[:m]
 
 
+def want_scatter_perm(m: int, nval: int, src: int, itemsize: int) -> bool:
+    """Should the (m out of src, nval valid) static map use the
+    compact-sort + scatter strategy?  Measured on v5e
+    (tools/extract_bench.py, m=2.36M src=340k dens=0.1): f32 scatter
+    1.9 ms vs sort 5.7 ms vs gather 16.9 ms — but f64 scatter LOSES
+    (19.8 ms vs sort 6.9: the serialized f64 scatter costs ~80
+    ns/element).  So: 4-byte values only, sentinel-heavy maps only
+    (scatter cost ~ 8 ns * nval vs sort ~ 2.4 ns * m -> win iff
+    3*nval <= m)."""
+    mode = os.environ.get("HYMLS_PERM_STRATEGY", "auto")
+    if mode == "scatter":
+        return True
+    if mode != "auto":
+        return False
+    return (jax.default_backend() == "tpu"
+            and itemsize <= 4
+            and max(m, src) >= _PERM_SORT_MIN
+            and 3 * nval <= m)
+
+
 def perm_scatter_plan(g, src_size: int):
     """Sentinel-heavy variant of perm_sort_plan: when most of g's slots
     are sentinels (g[i] >= src_size -> 0.0), the sort strategy still

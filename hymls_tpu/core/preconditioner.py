@@ -40,7 +40,9 @@ from ..partition.hierarchical import build_hierarchy
 from .plan import (LevelPlan, CoarsePlan, build_level_plan,
                    build_coarse_plan, csr_entry_ids, SMALL_ENTRY)
 from ..parallel.mesh import shard_batch
-from .permute import want_sort_perm, perm_sort_plan, apply_sorted_perm
+from .permute import (want_sort_perm, perm_sort_plan, apply_sorted_perm,
+                      want_scatter_perm, perm_scatter_plan,
+                      apply_scatter_perm)
 
 
 # ---------------------------------------------------------------------------
@@ -113,8 +115,16 @@ def _pgather(dp, field, src_flat):
     injective and large enough for the TPU sort network (see
     core/permute.py), ``dp[field + "_skeys"]`` holds sort keys and the
     gather runs as one lax.sort_key_val — measured 5-10x faster than
-    the serial TPU gather at the factor-path block-extraction sizes."""
+    the serial TPU gather at the factor-path block-extraction sizes.
+    Sentinel-heavy 4-byte maps instead carry ``_spos``/``_ckeys`` and
+    run as a compact source-sized sort + one unique-index scatter
+    (another ~3x on v5e at 10% density, tools/extract_bench.py)."""
     g = dp[field]
+    sp = dp.get(field + "_spos")
+    if sp is not None:
+        m = int(np.prod(g.shape))
+        return apply_scatter_perm(src_flat, dp[field + "_ckeys"],
+                                  sp, m).reshape(g.shape)
     k = dp.get(field + "_skeys")
     if k is None:
         return _ext(src_flat)[g]
@@ -215,8 +225,16 @@ def _plan_index_dtype(plan, fields) -> "jnp.dtype":
     return jnp.int32
 
 
+#: plan maps whose gathers read FACTOR-dtype values (_compute_level);
+#: the remaining maps in the strategy table read apply-dtype vectors in
+#: the V-cycle.  The split matters because the scatter strategy wins
+#: only on 4-byte values (want_scatter_perm).
+_FACTOR_MAPS = ("A11_idx", "A12_idx", "A21_idx", "A22_idx",
+                "sc11_gather", "sc22_src", "blk_idx")
+
+
 def _device_level(plan: LevelPlan, dtype,
-                  idx_dtype=None) -> Dict[str, jnp.ndarray]:
+                  idx_dtype=None, apply_dtype=None) -> Dict[str, jnp.ndarray]:
     # dtype conversion happens in NUMPY before the device transfer:
     # jnp.asarray(x, dtype=...) on a mismatched-dtype host array
     # compiles one convert_element_type XLA program PER SHAPE — ~70 s
@@ -269,9 +287,27 @@ def _device_level(plan: LevelPlan, dtype,
     if kcache is None:
         kcache = {}
         plan._skeys_cache = kcache
+    if apply_dtype is None:
+        apply_dtype = dtype
     for f, src in src_of.items():
         g = np.asarray(getattr(plan, f))
-        if g.size and want_sort_perm(g.size, src):
+        if not g.size:
+            continue
+        itemsize = np.dtype(dtype if f in _FACTOR_MAPS
+                            else apply_dtype).itemsize
+        nval = int(np.count_nonzero(g.ravel() < src))
+        if want_scatter_perm(g.size, nval, src, itemsize):
+            sk = f + ":scatter"
+            if sk in kcache:
+                cp = kcache[sk]
+            else:
+                cp = perm_scatter_plan(g, src)
+                kcache[sk] = cp
+            if cp is not None:
+                d[f + "_ckeys"] = jnp.asarray(cp[0])
+                d[f + "_spos"] = jnp.asarray(cp[1])
+                continue
+        if want_sort_perm(g.size, src):
             if f in kcache:
                 k = kcache[f]
             else:
@@ -930,18 +966,29 @@ class Preconditioner:
         force64 = self.params.sublist("Preconditioner").get(
             "Use 64-bit Indices", False)
         idx = jnp.int64 if force64 else None
-        self._dplans = [_device_level(p, self.factor_dtype, idx_dtype=idx)
+        self._dplans = [_device_level(p, self.factor_dtype, idx_dtype=idx,
+                                      apply_dtype=self.dtype)
                         for p in self.plans]
         # the apply path reads only a small subset of the plan arrays;
         # passing the full plans into a Krylov-loop program makes the
         # TPU re-stream every captured buffer each iteration (measured
         # ~11.5 GB/s effective, linear in bytes) — so solve programs
-        # get this pruned pytree instead.  Under factor upcast the plan
-        # float fields (Householder reflectors) live in factor dtype
-        # for the compute side and are down-cast here for the apply.
+        # get this pruned pytree instead, INCLUDING the per-map gather
+        # strategy arrays (_skeys/_spos/_ckeys: without them the
+        # V-cycle's gathers silently fall back to the serial TPU
+        # gather, the per-iteration floor d0c711d removed).  Under
+        # factor upcast the plan float fields (Householder reflectors)
+        # live in factor dtype for the compute side and are down-cast
+        # here for the apply.
         self._aplans_gen = []
         for d in self._dplans:
-            a = {k: d[k] for k in _APPLY_FIELDS if k in d}
+            a = {}
+            for k in _APPLY_FIELDS:
+                if k in d:
+                    a[k] = d[k]
+                    for suf in ("_skeys", "_spos", "_ckeys"):
+                        if k + suf in d:
+                            a[k + suf] = d[k + suf]
             if self._upcast and "w_vals" in a:
                 a["w_vals"] = a["w_vals"].astype(self.dtype)
             self._aplans_gen.append(a)

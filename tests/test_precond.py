@@ -140,14 +140,16 @@ def test_int64_device_plans():
 ])
 def test_factor_sort_perm_bit_identical(eqn, levels, part, monkeypatch):
     """The factor-path block-extraction gathers (A11/A12/A21/A22,
-    sc11_gather, blk_idx) re-expressed as sort-permutations
-    (core/permute.py, chosen in _device_level) move values only — the
-    factors and the preconditioner apply must agree BIT-FOR-BIT with
-    the plain-gather strategy.  Non-injective maps (shared A22
-    entries) must silently fall back."""
+    sc11_gather, blk_idx) re-expressed as sort-permutations or as
+    compact-sort+scatter (core/permute.py, chosen in _device_level)
+    move values only — the factors and the preconditioner apply must
+    agree BIT-FOR-BIT with the plain-gather strategy.  Non-injective
+    maps (shared A22 entries) must silently fall back.  The apply
+    plans must CARRY the strategy arrays (they are what makes the
+    V-cycle gathers ride the sort network on TPU)."""
     import jax
     outs = {}
-    for strat in ("gather", "sort"):
+    for strat in ("gather", "sort", "scatter"):
         monkeypatch.setenv("HYMLS_PERM_STRATEGY", strat)
         params = _params(eqn, 16, levels, tol=1e-8)
         params.sublist("Preconditioner")["Partitioner"] = part
@@ -157,13 +159,20 @@ def test_factor_sort_perm_bit_identical(eqn, levels, part, monkeypatch):
                            testvector=create_testvector(params, K))
         nsk = sum(1 for d in P._dplans for f in d if f.endswith("_skeys"))
         assert (nsk > 0) == (strat == "sort")
+        nsc = sum(1 for d in P._dplans for f in d if f.endswith("_spos"))
+        assert (nsc > 0) == (strat == "scatter")
+        if strat != "gather":
+            # the pruned apply plans must keep the strategy arrays
+            suf = "_skeys" if strat == "sort" else "_spos"
+            assert any(f.endswith(suf) for d in P._aplans_gen for f in d)
         P.compute()
         b = np.random.default_rng(11).standard_normal(K.shape[0])
         outs[strat] = (P.factors, np.asarray(P.apply_inverse(b)))
-    for a, c in zip(jax.tree.leaves(outs["gather"][0]),
-                    jax.tree.leaves(outs["sort"][0])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
-    np.testing.assert_array_equal(outs["gather"][1], outs["sort"][1])
+    for other in ("sort", "scatter"):
+        for a, c in zip(jax.tree.leaves(outs["gather"][0]),
+                        jax.tree.leaves(outs[other][0])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        np.testing.assert_array_equal(outs["gather"][1], outs[other][1])
 
 
 def test_warm_recompute_matches_fresh():

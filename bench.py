@@ -257,7 +257,8 @@ def _stokes_params(nx, dim, levels, partitioner, sx=4,
 
 
 def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
-                  relres_ok=1e-11, extra_fields=None):
+                  relres_ok=1e-11, extra_fields=None,
+                  measure_warm=False):
     """Time REPS fused Newton steps (f32 refactor + repack + IR solve,
     one dispatch each) and the CPU splu baseline on the same matrix.
 
@@ -406,6 +407,59 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         except Exception as e:   # pragma: no cover - bench resilience
             _progress(f"  factor-only timing failed: {e!r}")
 
+    # warm-recompute Newton step (the production continuation path:
+    # the reference reuses its analysis via SetMatrix-then-Compute,
+    # src/HYMLS_Preconditioner.hpp:246-254; here the dense inverses are
+    # Newton-Schulz-polished from the previous step's factors, with a
+    # residual-gated cold fallback compiled into the same program) —
+    # reported SEPARATELY from the cold step; both are honest: cold =
+    # first factorization, warm = every subsequent Newton step
+    warm = {}
+    budget_left = float(os.environ.get("BENCH_CASE_BUDGET_S", "1e9"))
+    if measure_warm and not big and \
+            budget_left - (time.time() - _T0) > 240:
+        try:
+            wfn, wdpl, wex, wapl = S.newton_step_warm_fn()
+            fac0 = S.precond.factors
+
+            def warm_steps(niter, s0, fac0):
+                def wbody(i, carry):
+                    _x, _it, fac = carry
+                    s64 = s0 + 1e-6 * (i + 1).astype(jnp.float64)
+                    rr, fac = wfn(vals64 * s64,
+                                  vals32 * s64.astype(jnp.float32),
+                                  wdpl, wex, wapl, bj, fac)
+                    return rr.x, jnp.asarray(rr.iters, jnp.int64), fac
+                return lax.fori_loop(
+                    0, niter, wbody,
+                    (jnp.zeros_like(bj), jnp.zeros((), jnp.int64), fac0))
+
+            wjit = jax.jit(warm_steps)
+            sync(wjit(1, one, fac0))
+            tw = {}
+            outw = {}
+            for nit in (1, reps + 1):
+                t0 = time.perf_counter()
+                res = wjit(nit, one, fac0)
+                sync(res)
+                tw[nit] = time.perf_counter() - t0
+                outw[nit] = res
+            warm_s = max((tw[reps + 1] - tw[1]) / reps, 1e-9)
+            xw, itw, _ = outw[reps + 1]
+            xw = np.asarray(jax.device_get(xw))
+            Kw = K.copy()
+            Kw.data = Kw.data * (1.0 + 1e-6 * (reps + 1))
+            wrel = float(np.linalg.norm(Kw @ xw - b) /
+                         np.linalg.norm(b))
+            warm = {"warm_step_s": round(warm_s, 5),
+                    "warm_inner_iters": int(jax.device_get(itw)),
+                    "warm_relres": wrel,
+                    "warm_ok": wrel <= relres_ok}
+            _progress(f"  warm-recompute step: {warm_s:.4f} s/step "
+                      f"(relres {wrel:.2e})")
+        except Exception as e:   # pragma: no cover - bench resilience
+            _progress(f"  warm timing failed: {e!r}")
+
     base_secs, base_relres, base_timed_out = baseline
     baseline = {"method": "scipy SuperLU factor+solve (serial CPU)",
                 "seconds": round(base_secs, 5),
@@ -468,6 +522,10 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "relres": relres,
         "cost_model": cost_model,
     }
+    if warm.get("warm_step_s"):
+        result.update(warm)
+        result["vs_8rank_cpu_ideal_warm"] = round(
+            base_secs / 8.0 / warm["warm_step_s"], 3)
     if extra_fields:
         result.update(extra_fields)
 

@@ -233,8 +233,58 @@ _FACTOR_MAPS = ("A11_idx", "A12_idx", "A21_idx", "A22_idx",
                 "sc11_gather", "sc22_src", "blk_idx")
 
 
+def _vsum_split_arrays(plan: LevelPlan):
+    """Host-side derived maps for the vsum-restricted f64 assembly
+    (_compute_level_split): per-subdomain Vsum column picks and the
+    next-level gathers composed down to the compressed (s, nv, nv)
+    Vsum blocks.  Returns None when any next-level entry reads a
+    non-Vsum T slot (never observed; the reduced matrix is the
+    Vsum-Vsum block by construction, reference
+    HYMLS_SchurPreconditioner.cpp:520-629)."""
+    sp_ = np.asarray(plan.sd_sep_pos)
+    n_sd, ns = sp_.shape
+    n_sep = plan.n_sep
+    isv = np.zeros(n_sep + 1, bool)
+    isv[np.asarray(plan.vsum_pos)] = True
+    valid = (sp_ < n_sep) & isv[np.minimum(sp_, n_sep)]
+    counts = valid.sum(axis=1)
+    nv = max(int(counts.max()) if counts.size else 0, 1)
+    vc = np.full((n_sd, nv), ns, np.int64)
+    loc = np.full((n_sd, ns), nv, np.int64)
+    for s in range(n_sd):
+        cols = np.nonzero(valid[s])[0]
+        vc[s, :cols.size] = cols
+        loc[s, cols] = np.arange(cols.size)
+
+    t_size = n_sd * ns * ns
+    v_size = n_sd * nv * nv
+
+    def compose(f):
+        f = np.asarray(f, np.int64)
+        sent = f >= t_size
+        fc = np.where(sent, 0, f)
+        s_i, rem = np.divmod(fc, ns * ns)
+        i, j = np.divmod(rem, ns)
+        a, b = loc[s_i, i], loc[s_i, j]
+        if np.any(~sent & ((a >= nv) | (b >= nv))):
+            return None
+        return np.where(sent, v_size, s_i * (nv * nv) + a * nv + b)
+
+    n22 = compose(np.asarray(plan.sc22_src)[plan.next_idx])
+    n11 = compose(np.asarray(plan.sc11_gather)[plan.next_idx])
+    if n22 is None or n11 is None:
+        return None
+    return {"vsum_col": vc, "nxt22_v": n22, "nxt11_v": n11}
+
+
+#: maps that read the f32 side chain under the vsum-split assembly
+#: (sc/blk values are f32 there; the block gathers stay f64)
+_SPLIT_F32_MAPS = ("sc11_gather", "sc22_src", "blk_idx")
+
+
 def _device_level(plan: LevelPlan, dtype,
-                  idx_dtype=None, apply_dtype=None) -> Dict[str, jnp.ndarray]:
+                  idx_dtype=None, apply_dtype=None,
+                  split_maps=False) -> Dict[str, jnp.ndarray]:
     # dtype conversion happens in NUMPY before the device transfer:
     # jnp.asarray(x, dtype=...) on a mismatched-dtype host array
     # compiles one convert_element_type XLA program PER SHAPE — ~70 s
@@ -289,12 +339,25 @@ def _device_level(plan: LevelPlan, dtype,
         plan._skeys_cache = kcache
     if apply_dtype is None:
         apply_dtype = dtype
+    if split_maps:
+        vs = kcache.get("::vsum_split", "miss")
+        if vs == "miss":
+            vs = _vsum_split_arrays(plan)
+            kcache["::vsum_split"] = vs
+        if vs is not None:
+            vi = np.dtype(idx_dtype) if idx_dtype is not None else (
+                jnp.int64 if max(v.max(initial=0) for v in vs.values())
+                >= _INT32_MAX else jnp.int32)
+            for k, v in vs.items():
+                d[k] = jnp.asarray(np.asarray(v, dtype=np.dtype(vi)))
     for f, src in src_of.items():
         g = np.asarray(getattr(plan, f))
         if not g.size:
             continue
-        itemsize = np.dtype(dtype if f in _FACTOR_MAPS
-                            else apply_dtype).itemsize
+        vdt = apply_dtype if (f not in _FACTOR_MAPS or (
+            split_maps and "vsum_col" in d and f in _SPLIT_F32_MAPS)) \
+            else dtype
+        itemsize = np.dtype(vdt).itemsize
         nval = int(np.count_nonzero(g.ravel() < src))
         if want_scatter_perm(g.size, nval, src, itemsize):
             sk = f + ":scatter"
@@ -322,6 +385,103 @@ def _device_level(plan: LevelPlan, dtype,
 # per-level numeric kernels
 # ---------------------------------------------------------------------------
 
+def _compute_level_split(vals, dp, sizes, apply_ot=True,
+                         store_dtype=None, prev=None):
+    """Factor one level with the VSUM-RESTRICTED f64 assembly
+    ('Schur Assembly' = 'Vsum f64').
+
+    TPU v5e emulates f64 matmuls in software (~an order of magnitude
+    over f32); the full-f64 chain of `_compute_level` spent ~44 ms of
+    the 180 ms stokes128 factor step in those emulated matmuls (xplane
+    trace, tools/profile_factor.py).  But the f64 arithmetic protects
+    exactly ONE consumer: the next-level matrix values, where the
+    recursive Schur cancellation amplifies rounding across levels
+    (skew-32^3 L=2 diverges with f32 assembly).  Everything else the
+    factorization produces — A11inv/G/A21 for the V-cycle, the
+    non-Vsum block inverses — is cast to f32 for the apply anyway and
+    is measured insensitive to assembly precision (~3e-6, see
+    solvers/mixed.py).
+
+    So: run the FULL chain in f32 (MXU-native) for the apply factors,
+    and a small exact-in-f64 side chain restricted to the Vsum columns
+    (nv ~ #groups per subdomain << ns) for the next-level values:
+
+        Qv   = Q E_v                 (s, ns, nv)   one-hot column pick
+        Z    = A11^{-1} (A12 Qv)     via X32 + one f64 refinement step
+        T11v = -(Qv' A21) Z          (s, nv, nv)
+        T22v =  Qv' A22 Qv           (s, nv, nv)
+        nxt  = drop(T22v[nxt22_v] + sum T11v[nxt11_v])
+
+    ~4x less emulated-f64 matmul work at identical next-level
+    accuracy class (the refinement reproduces inv_chain's
+    (eps32*cond)^2 error bound on the restricted solve).  The
+    reference has no such split — its CPU f64 is free
+    (src/HYMLS_SchurPreconditioner.cpp:698-875 assembles in double);
+    this is the TPU-native equivalent of 'all setup in double'."""
+    dtype = vals.dtype                       # f64 (upcast chain)
+    f32 = store_dtype
+
+    # --- f64 block gathers (shared by both chains; cast once) -----------
+    A11 = shard_batch(_pgather(dp, "A11_idx", vals))
+    ni = A11.shape[-1]
+    A11 = A11 + jnp.eye(ni, dtype=dtype)[None] * \
+        (~dp["int_mask"])[:, :, None]
+    A12 = shard_batch(_pgather(dp, "A12_idx", vals))
+    A21 = shard_batch(_pgather(dp, "A21_idx", vals))
+    A22 = shard_batch(_pgather(dp, "A22_idx", vals))
+
+    # --- f32 chain: everything the apply consumes ------------------------
+    A11s, A12s, A21s, A22s = (x.astype(f32) for x in (A11, A12, A21, A22))
+    if prev is not None:
+        A11inv = _warm_inv(A11s, prev["A11inv"])
+    else:
+        A11inv = _inv(A11s)
+    G = A11inv @ A12s
+    T11s = -(A21s @ G)
+    if apply_ot:
+        Qs = dp["Q"].astype(f32)
+        T22q = Qs @ A22s @ Qs
+        T11q = Qs @ T11s @ Qs
+    else:
+        T22q, T11q = A22s, T11s
+
+    sc = _pgather(dp, "sc22_src", T22q.reshape(-1))
+    sc = sc + jnp.sum(_pgather(dp, "sc11_gather", T11q.reshape(-1)),
+                      axis=1)
+
+    B = _pgather(dp, "blk_idx", sc)
+    mb = B.shape[-1]
+    B = B + jnp.eye(mb, dtype=f32)[None] * (~dp["blk_mask"])[:, :, None]
+    zero_rows = jnp.sum(jnp.abs(B), axis=-1) == 0
+    B = B + jnp.eye(mb, dtype=f32)[None] * zero_rows[:, :, None]
+    blkinv = _inv(B) if prev is None else _warm_inv(B, prev["blkinv"])
+
+    # --- f64 vsum-restricted chain: the next-level values ----------------
+    vc = dp["vsum_col"]                       # (s, nv), sentinel = ns
+    ns = A22.shape[-1]
+    Ev = (vc[:, None, :] == jnp.arange(ns, dtype=vc.dtype)[None, :, None]
+          ).astype(dtype)                     # (s, ns, nv) one-hot
+    Qv = (dp["Q"] @ Ev) if apply_ot else Ev
+    Mv = A12 @ Qv                             # (s, ni, nv)
+    X64 = A11inv.astype(dtype)
+    Z0 = X64 @ Mv
+    Z = Z0 + X64 @ (Mv - A11 @ Z0)            # one f64 refinement step
+    W = A21 @ Z                               # (s, ns, nv)
+    T11v = -jnp.einsum("sna,snb->sab", Qv, W)
+    T22v = jnp.einsum("sna,snb->sab", Qv, A22 @ Qv)
+
+    T22v_ext = _ext(T22v.reshape(-1))
+    T11v_ext = _ext(T11v.reshape(-1))
+    nxt = T22v_ext[dp["nxt22_v"]] + \
+        jnp.sum(T11v_ext[dp["nxt11_v"]], axis=1)
+    nxt = _drop_rel_diag(nxt, dp["next_rows"], dp["next_cols"],
+                         dp["next_diag_entry"])
+
+    factors = {"A11inv": A11inv, "G": G, "A21": A21s, "blkinv": blkinv,
+               "sc": sc}
+    return factors, nxt
+
+
 def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None,
                    prev=None):
     """Factor one level: returns (factors dict, next-level values).
@@ -339,7 +499,12 @@ def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None,
     skew 32^3) an f32 inverse of accurately-assembled values is within
     3e-6 of f64, while inv_newton on an f64 input pays up to 6 emulated
     f64 Newton matmul steps.  So blkinv is inverted directly in the
-    store dtype."""
+    store dtype.  When the plan carries the vsum-split maps ('Schur
+    Assembly' = 'Vsum f64'), the f64 chain is restricted to the
+    next-level entries instead — see _compute_level_split."""
+    if store_dtype is not None and "vsum_col" in dp:
+        return _compute_level_split(vals, dp, sizes, apply_ot=apply_ot,
+                                    store_dtype=store_dtype, prev=prev)
     n_sep, nnz_sc = sizes
     dtype = vals.dtype
 
@@ -701,6 +866,13 @@ class Preconditioner:
         self.variant = prec.get("Preconditioner Variant", "Block Diagonal")
         self.partitioner_type = prec.get("Partitioner", "Cartesian")
         self.apply_dropping = prec.get("Apply Dropping", True)
+        # 'Schur Assembly': under factor upcast, 'Vsum f64' (default)
+        # restricts the emulated-f64 matmul chain to the next-level
+        # (Vsum) entries — ~4x less f64 work per factorization at the
+        # same next-level accuracy class (_compute_level_split);
+        # 'Full f64' keeps the whole chain in f64.
+        self._split_assembly = self._upcast and prec.get(
+            "Schur Assembly", "Vsum f64") == "Vsum f64"
 
         fix_gids: List[int] = []
         pos = 1
@@ -967,7 +1139,8 @@ class Preconditioner:
             "Use 64-bit Indices", False)
         idx = jnp.int64 if force64 else None
         self._dplans = [_device_level(p, self.factor_dtype, idx_dtype=idx,
-                                      apply_dtype=self.dtype)
+                                      apply_dtype=self.dtype,
+                                      split_maps=self._split_assembly)
                         for p in self.plans]
         # the apply path reads only a small subset of the plan arrays;
         # passing the full plans into a Krylov-loop program makes the

@@ -38,12 +38,24 @@ class IterativeRefinementSolver:
     def __init__(self, K: sp.csr_matrix, params: Params,
                  testvector: Optional[np.ndarray] = None,
                  inner_tol: float = 1e-4, max_passes: int = 16,
-                 inner_maxiter: int = 64):
+                 inner_maxiter: Optional[int] = None):
         self.params = params
         it = params.sublist("Solver").sublist("Iterative Solver")
         self.tol = it.get("Convergence Tolerance", 1e-6)
         self.inner_tol = max(inner_tol, self.tol)
         self.max_passes = max_passes
+        if inner_maxiter is None:
+            # multilevel systems need the longer restarted basis: the
+            # v5e sweep on stokes128 L=2 (tools/step_decompose.py)
+            # measured 768 inner iters / 0.154 s solve at m=48, 427 /
+            # 0.072 s at m=96, 441 / 0.109 s at m=192 (the masked
+            # static-shape orthogonalization pays O(m n) per iteration,
+            # so oversizing costs bandwidth) — m=96 is the knee.
+            # Single-reduction problems converge in a few dozen inner
+            # iterations and keep the cheaper 64-slot basis.
+            n_levels = params.sublist("Preconditioner").get(
+                "Number of Levels", 1)
+            inner_maxiter = 96 if n_levels >= 2 else 64
         # Cap the inner Krylov basis independently of the user's
         # 'Maximum Iterations': the fused GMRES uses static-shape
         # masked orthogonalization, so every iteration pays O(basis
@@ -78,6 +90,14 @@ class IterativeRefinementSolver:
             "Number of Levels", 1)
         fprec = params.sublist("Preconditioner").get(
             "Factor Precision", "f64" if n_levels >= 2 else "Same")
+        # the distributed factorization (parallel/dist_compute.py)
+        # implements the full-f64 chain; pin the replicated build to
+        # the same assembly so dist-vs-replicated iteration identity
+        # holds (tests/test_dist_solve.py)
+        if params.sublist("Solver").get("Distributed Apply", False) and \
+                "Schur Assembly" not in params.sublist("Preconditioner"):
+            inner_params.sublist("Preconditioner")[
+                "Schur Assembly"] = "Full f64"
         self.precond = Preconditioner(
             K, inner_params, testvector=testvector, dtype=jnp.float32,
             factor_dtype=jnp.float64 if fprec == "f64" else jnp.float32)

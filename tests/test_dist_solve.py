@@ -168,9 +168,13 @@ def test_dist_mixed_newton_step(ndev):
                        "Iterative Solver": {"Maximum Iterations": 200,
                                             "Convergence Tolerance":
                                                 1e-10}},
+            # pin the classic full-f64 assembly on BOTH builds: the
+            # distributed factorization implements that chain, and the
+            # iteration-identity check needs bit-matching factors
             "Preconditioner": {"Separator Length": 4,
                                "Number of Levels": 2,
-                               "Structured Apply": False},
+                               "Structured Apply": False,
+                               "Schur Assembly": "Full f64"},
         })
         K = create_matrix(params)
         tv = create_testvector(params, K)

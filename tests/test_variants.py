@@ -219,6 +219,88 @@ def test_fused_iterative_refinement():
     assert np.allclose(x, np.asarray(x2), atol=1e-12)
 
 
+def _stokes_params(nx, levels, schur_assembly=None, tol=1e-8):
+    prec = {"Separator Length": 4, "Number of Levels": levels,
+            "Structured Apply": False}
+    if schur_assembly:
+        prec["Schur Assembly"] = schur_assembly
+    return Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Solver": {"Krylov Method": "GMRES", "Initial Vector": "Zero",
+                   "Iterative Solver": {"Maximum Iterations": 300,
+                                        "Convergence Tolerance": tol}},
+        "Preconditioner": prec,
+    })
+
+
+def test_vsum_split_assembly_next_level_accuracy():
+    """'Schur Assembly' = 'Vsum f64' (_compute_level_split): the
+    vsum-restricted f64 chain must reproduce the full-f64 chain's
+    next-level values to the (eps32*cond)^2 accuracy class of the
+    inv_chain bound, and the f32 apply factors must agree to f32
+    rounding.  (The two paths group the A11^{-1} refinement
+    differently, so agreement is ~1e-9 relative, not bit-exact.)"""
+    from hymls_tpu.stencils import create_matrix
+    from hymls_tpu.core.preconditioner import _compute_level
+
+    K = None
+    outs = {}
+    for mode in ("Full f64", "Vsum f64"):
+        params = _stokes_params(32, 2, schur_assembly=mode)
+        params.sublist("Preconditioner")["Factor Precision"] = "f64"
+        if K is None:
+            K = create_matrix(params)
+        P = Preconditioner(K, params, dtype=jnp.float32,
+                           testvector=create_testvector(params, K))
+        dp = P._dplans[0]
+        assert ("vsum_col" in dp) == (mode == "Vsum f64")
+        vals = jnp.asarray(K.data, jnp.float64)
+        fac, nxt = _compute_level(
+            vals, dp, (P.plans[0].n_sep, P.plans[0].nnz_sc),
+            apply_ot=P.plans[0].apply_ot, store_dtype=jnp.float32)
+        outs[mode] = (fac, np.asarray(nxt))
+    nf, ns_ = outs["Full f64"][1], outs["Vsum f64"][1]
+    scale = np.abs(nf).max()
+    assert np.abs(nf - ns_).max() / scale < 1e-8, \
+        f"next-level mismatch {np.abs(nf - ns_).max() / scale:.2e}"
+    for key in ("G", "A21", "blkinv"):
+        a = np.asarray(outs["Full f64"][0][key], np.float64)
+        b = np.asarray(outs["Vsum f64"][0][key], np.float64)
+        s = max(np.abs(a).max(), 1e-30)
+        assert np.abs(a - b).max() / s < 1e-4, \
+            f"{key} mismatch {np.abs(a - b).max() / s:.2e}"
+
+
+def test_vsum_split_iteration_parity():
+    """The mixed-precision IR solve with the vsum-split assembly (the
+    default under factor upcast) must converge with the same inner
+    Krylov work as the full-f64 assembly — the whole point of the f64
+    chain is next-level accuracy, which the split preserves."""
+    from hymls_tpu.stencils import create_matrix, create_testvector
+    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+
+    iters = {}
+    K = None
+    for mode in ("Full f64", "Vsum f64"):
+        params = _stokes_params(32, 2, schur_assembly=mode)
+        if K is None:
+            K = create_matrix(params)
+        tv = create_testvector(params, K)
+        S = IterativeRefinementSolver(K, params, testvector=tv)
+        assert S.precond._split_assembly == (mode == "Vsum f64")
+        S.compute()
+        rng = np.random.default_rng(3)
+        b = K @ rng.standard_normal(K.shape[0])
+        x = np.asarray(S.solve(b))
+        res = S._last_result
+        relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+        assert relres < 1e-8, f"{mode}: relres {relres}"
+        iters[mode] = int(res.iters)
+    assert iters["Vsum f64"] <= int(iters["Full f64"] * 1.1) + 2, \
+        f"split assembly degraded convergence: {iters}"
+
+
 def test_comparison_driver():
     """main_ifpack-equivalent comparison path (ILU / Jacobi / None)."""
     from hymls_tpu.driver import run_comparison

@@ -642,7 +642,8 @@ def _run_case(name):
         K, b, source = _cavity64()
         params = _stokes_params(64, 2, 1, "Cartesian")
         return _bench_newton(params, K, b, reps=10,
-                             extra_fields={"source": source})
+                             extra_fields={"source": source},
+                             measure_warm=True)
 
     if name == "cavity128_Re0":
         # the stokes2 flagship at scale: 128^2 driven cavity (n=49k),
@@ -653,7 +654,8 @@ def _run_case(name):
                            maxiter=100, tol=1e-6)
         return _bench_newton(p, K, b, reps=5, target_iters=48,
                              relres_ok=5e-6,
-                             extra_fields={"source": source})
+                             extra_fields={"source": source},
+                             measure_warm=True)
 
     if name == "stokes128_L2":
         from hymls_tpu.stencils import create_matrix

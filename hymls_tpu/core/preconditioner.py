@@ -866,13 +866,18 @@ class Preconditioner:
         self.variant = prec.get("Preconditioner Variant", "Block Diagonal")
         self.partitioner_type = prec.get("Partitioner", "Cartesian")
         self.apply_dropping = prec.get("Apply Dropping", True)
-        # 'Schur Assembly': under factor upcast, 'Vsum f64' (default)
-        # restricts the emulated-f64 matmul chain to the next-level
-        # (Vsum) entries — ~4x less f64 work per factorization at the
-        # same next-level accuracy class (_compute_level_split);
-        # 'Full f64' keeps the whole chain in f64.
+        # 'Schur Assembly': under factor upcast, 'Vsum f64' restricts
+        # the emulated-f64 matmul chain to the next-level (Vsum)
+        # entries (_compute_level_split).  Default is 'Full f64':
+        # measured on the cavity128 skew flagship (v5e), the split
+        # REGRESSED both time (skew subdomains have nv=13 of ns=17 —
+        # the 'restricted' chain nearly duplicates the full one) and
+        # quality (the non-Vsum block inverses also need f64-assembled
+        # Schur values there: inner iterations doubled).  The option
+        # stays for structures where nv << ns and the blocks are
+        # benign (Cartesian L=2 held iteration parity in tests).
         self._split_assembly = self._upcast and prec.get(
-            "Schur Assembly", "Vsum f64") == "Vsum f64"
+            "Schur Assembly", "Full f64") == "Vsum f64"
 
         fix_gids: List[int] = []
         pos = 1

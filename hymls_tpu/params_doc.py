@@ -129,15 +129,17 @@ CATALOG: Dict[str, Dict[str, Tuple[str, object, str]]] = {
                              "'Same' otherwise (single-level assembly "
                              "has no recursive cancellation chain; "
                              "setup-only cost)"),
-        "Schur Assembly": ("string", "Vsum f64",
-                           "'Vsum f64' | 'Full f64' (factor-upcast "
+        "Schur Assembly": ("string", "Full f64",
+                           "'Full f64' | 'Vsum f64' (factor-upcast "
                            "mode only).  'Vsum f64' restricts the "
                            "emulated-f64 matmul chain to the "
-                           "next-level (Vsum) entries — ~4x less f64 "
-                           "work per factorization on TPU at the same "
-                           "next-level accuracy class; 'Full f64' "
-                           "runs the whole chain in f64 (the "
-                           "distributed factorization path)"),
+                           "next-level (Vsum) entries.  EXPERIMENTAL: "
+                           "wins only when nv << ns and the non-Vsum "
+                           "blocks tolerate f32 assembly (Cartesian "
+                           "L=2 holds parity in tests; the skew "
+                           "cavity128 flagship regressed both time "
+                           "and iterations on v5e, so the default "
+                           "stays 'Full f64')"),
         "Drop Tolerance": ("double", 1e-14, "Small-entry drop threshold"),
         "Fill Factor": ("double", 3.0, "Reserved (KLU-era tuning knob)"),
     },

@@ -35,6 +35,53 @@ def on_accelerator() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def gj_inverse(A):
+    """Batched Gauss-Jordan inverse with partial pivoting as pure
+    elementwise/one-hot VPU ops (no custom calls, no chunking, no
+    per-batch dynamic indexing: pivot row selection and swap are
+    one-hot masked reductions under a lax.fori_loop over columns).
+
+    XLA's jnp.linalg.inv lowers to LU + triangular-inverse custom
+    calls that run column-serial and need lax.map chunking against a
+    scoped-vmem cap — ~42 ms of the 161 ms cavity128 factor step for
+    a few hundred MFLOP of work.  This formulation keeps the whole
+    batch resident and vector-parallel.  Numerics: standard partial
+    pivoting (the one-hot argmax picks the largest |pivot| row), same
+    error class as LU+solve; exact-singular pivots pass through as
+    1.0 to keep NaNs out (callers mask empty/padded blocks)."""
+    B, n, _ = A.shape
+    dtype = A.dtype
+    W = jnp.concatenate(
+        [A, jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))], axis=2)
+    iota = jnp.arange(n)
+    iota2 = jnp.arange(2 * n)
+
+    def step(k, W):
+        selk = (iota2 == k).astype(dtype)                 # col-k pick
+        colk = jnp.einsum("bij,j->bi", W, selk)
+        cand = jnp.where(iota[None, :] >= k, jnp.abs(colk), -1.0)
+        p = jnp.argmax(cand, axis=1)                      # (B,)
+        onep = (iota[None, :] == p[:, None]).astype(dtype)
+        onek = (iota[None, :] == k).astype(dtype)
+        rowp = jnp.einsum("bij,bi->bj", W, onep)          # (B, 2n)
+        rowk = jnp.einsum("bij,bi->bj", W, onek)
+        W = W + onek[:, :, None] * (rowp - rowk)[:, None, :] \
+              + onep[:, :, None] * (rowk - rowp)[:, None, :]
+        piv = jnp.einsum("bj,j->b", rowp, selk)
+        piv = jnp.where(piv == 0, jnp.ones_like(piv), piv)
+        rowk_s = rowp / piv[:, None]
+        colk2 = jnp.einsum("bij,j->bi", W, selk)
+        factor = jnp.where(iota[None, :] == k,
+                           jnp.zeros_like(colk2), colk2)
+        W = W - factor[:, :, None] * rowk_s[:, None, :]
+        W = W * (1.0 - onek[:, :, None]) + onek[:, :, None] * \
+            rowk_s[:, None, :]
+        return W
+
+    W = jax.lax.fori_loop(0, n, step, W)
+    return W[:, :, n:]
+
+
 def _batched_inv(A):
     """Batched inverse, chunked when the batch is too large for one
     XLA InvertDiagBlocksUpperTriangular call: TPU scoped vmem caps the
@@ -45,6 +92,15 @@ def _batched_inv(A):
         return jnp.linalg.inv(A)
     n = A.shape[-1]
     batch = int(np.prod(A.shape[:-2]))
+    # Gauss-Jordan beats the XLA LU+triangular-inverse custom-call chain
+    # in the many-small-blocks regime (measured v5e: 9.3x at
+    # f32[2112,17,17], 1.3x at f32[101,72,72]); its column-serial
+    # fori_loop is latency-bound for large n or tiny batches, so gate on
+    # both.  f32-only: the f64 callers refine an f32 seed anyway.
+    gj_max_n = int(os.environ.get("HYMLS_GJ_MAX_N", "96"))
+    if (on_accelerator() and A.dtype == jnp.float32
+            and 1 < n <= gj_max_n and batch >= 8):
+        return gj_inverse(A.reshape(batch, n, n)).reshape(A.shape)
     bytes_per = n * n * A.dtype.itemsize
     # TPU scoped vmem for the batched triangular-inverse custom call is
     # ~4.2x the chunk's input bytes against a 16 MiB limit (measured:

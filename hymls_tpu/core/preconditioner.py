@@ -431,17 +431,29 @@ def _compute_level_split(vals, dp, sizes, apply_ot=True,
     A22 = shard_batch(_pgather(dp, "A22_idx", vals))
 
     # --- f32 chain: everything the apply consumes ------------------------
+    # TRUE f32 products (precision=HIGHEST): the TPU default computes
+    # f32 matmuls in bf16 passes, and bf16-class assembly is what
+    # actually destroys multilevel quality (measured: cavity128 inner
+    # iterations doubled with default precision, while a CPU run of
+    # the identical f32 chain — true f32 — holds full iteration
+    # parity).  HIGHEST (bf16x6) is still far cheaper than the
+    # software-f64 emulation this chain replaces.
+    HI = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=HI)
+
     A11s, A12s, A21s, A22s = (x.astype(f32) for x in (A11, A12, A21, A22))
     if prev is not None:
         A11inv = _warm_inv(A11s, prev["A11inv"])
     else:
         A11inv = _inv(A11s)
-    G = A11inv @ A12s
-    T11s = -(A21s @ G)
+    G = mm(A11inv, A12s)
+    T11s = -mm(A21s, G)
     if apply_ot:
         Qs = dp["Q"].astype(f32)
-        T22q = Qs @ A22s @ Qs
-        T11q = Qs @ T11s @ Qs
+        T22q = mm(mm(Qs, A22s), Qs)
+        T11q = mm(mm(Qs, T11s), Qs)
     else:
         T22q, T11q = A22s, T11s
 
@@ -878,6 +890,12 @@ class Preconditioner:
         # benign (Cartesian L=2 held iteration parity in tests).
         self._split_assembly = self._upcast and prec.get(
             "Schur Assembly", "Full f64") == "Vsum f64"
+        # 'Vsum f64 Levels': comma-separated level list (or 'all') the
+        # split applies to — per-level placement, since profitability
+        # (nv vs ns) and block-assembly sensitivity both vary by level
+        lv = str(prec.get("Vsum f64 Levels", "all"))
+        self._split_levels = None if lv.strip().lower() == "all" else {
+            int(t) for t in lv.split(",") if t.strip()}
 
         fix_gids: List[int] = []
         pos = 1
@@ -1143,10 +1161,13 @@ class Preconditioner:
         force64 = self.params.sublist("Preconditioner").get(
             "Use 64-bit Indices", False)
         idx = jnp.int64 if force64 else None
-        self._dplans = [_device_level(p, self.factor_dtype, idx_dtype=idx,
-                                      apply_dtype=self.dtype,
-                                      split_maps=self._split_assembly)
-                        for p in self.plans]
+        self._dplans = [
+            _device_level(p, self.factor_dtype, idx_dtype=idx,
+                          apply_dtype=self.dtype,
+                          split_maps=self._split_assembly and
+                          (self._split_levels is None or
+                           lev in self._split_levels))
+            for lev, p in enumerate(self.plans)]
         # the apply path reads only a small subset of the plan arrays;
         # passing the full plans into a Krylov-loop program makes the
         # TPU re-stream every captured buffer each iteration (measured

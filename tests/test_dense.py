@@ -269,3 +269,34 @@ def test_factor_upcast_hybrid_chain_apply_accuracy():
         pc._inv_chain = orig
     err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
     assert err < 1e-5, err
+
+
+def test_gj_inverse_matches_lapack():
+    """Gauss-Jordan one-hot inverse (the TPU many-small-blocks fast
+    path of _batched_inv) matches the LAPACK inverse to the f32
+    rounding class, including on batches that need pivoting (zero
+    leading diagonal) and on padded identity blocks."""
+    from hymls_tpu.core.dense import gj_inverse
+
+    rng = np.random.default_rng(7)
+    A = _spd_with_cond(17, 1e4, rng, batch=32).astype(np.float32)
+    # force pivoting: zero out a diagonal entry via a row swap
+    A[3] = A[3][::-1]
+    # a padded identity block (empty subdomain) must pass through
+    A[5] = np.eye(17, dtype=np.float32)
+    X = np.asarray(gj_inverse(jnp.asarray(A)))
+    Xr = np.linalg.inv(A.astype(np.float64))
+    err = np.max(np.abs(X - Xr)) / np.max(np.abs(Xr))
+    assert err < 5e-4, err
+    assert _resid(A.astype(np.float64), X.astype(np.float64)) < 1e-2
+
+
+def test_gj_inverse_wide_blocks():
+    """n=72 (the cavity128 level-1 block size class)."""
+    from hymls_tpu.core.dense import gj_inverse
+
+    rng = np.random.default_rng(11)
+    A = _spd_with_cond(72, 1e3, rng, batch=9).astype(np.float32)
+    X = np.asarray(gj_inverse(jnp.asarray(A)))
+    R = np.eye(72) - A.astype(np.float64) @ X.astype(np.float64)
+    assert np.max(np.abs(R)) < 5e-3

@@ -534,13 +534,22 @@ def _compute_level(vals, dp, sizes, apply_ot=True, store_dtype=None,
     A21 = shard_batch(_pgather(dp, "A21_idx", vals))
     A22 = shard_batch(_pgather(dp, "A22_idx", vals))
 
-    G = A11inv @ A12                  # (s, ni, ns)
-    T11 = -(A21 @ G)                  # (s, ns, ns)
+    # TRUE-dtype products: TPU f32 matmuls default to bf16 passes and
+    # bf16-class rounding in the recursive Schur assembly is what
+    # destroys multilevel quality (a true-f32 chain holds iteration
+    # parity on CPU — see _compute_level_split).  HIGHEST is a no-op
+    # for f64 (emulated) and on CPU.
+    HI = jax.lax.Precision.HIGHEST
+    G = jnp.matmul(A11inv, A12, precision=HI)   # (s, ni, ns)
+    T11 = -jnp.matmul(A21, G, precision=HI)     # (s, ns, ns)
 
     if apply_ot:
         Q = dp["Q"]
-        T22q = Q @ A22 @ Q            # Q symmetric: Q A Q^T == Q A Q
-        T11q = Q @ T11 @ Q
+        # Q symmetric: Q A Q^T == Q A Q
+        T22q = jnp.matmul(jnp.matmul(Q, A22, precision=HI), Q,
+                          precision=HI)
+        T11q = jnp.matmul(jnp.matmul(Q, T11, precision=HI), Q,
+                          precision=HI)
     else:
         T22q, T11q = A22, T11
 

@@ -1034,13 +1034,13 @@ class StructuredProgram:
         else:
             r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
                  .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
-        x1 = jnp.einsum("kijab,kijb->kija", f["A11"], r)
+        x1 = jnp.einsum("kijab,kijb->kija", f["A11"], r, precision=HI)
 
         if SW == 0:
             # no separators at this level (degenerate); interior only
             return self._exit_level(lev, x1, c)
 
-        y2c = jnp.einsum("kijab,kijb->kija", f["A21"], x1)
+        y2c = jnp.einsum("kijab,kijb->kija", f["A21"], x1, precision=HI)
 
         # separator rhs: own values minus neighbor contributions
         acc = jnp.einsum("kijc,cs->kijs", r, c["E"], precision=HI)
@@ -1061,7 +1061,7 @@ class StructuredProgram:
         y_all = jnp.zeros_like(tt)
         for B, X in zip(f["blk"], c["X"]):
             tb = jnp.einsum("kijs,sm->kijm", tt, X, precision=HI)
-            yb = jnp.einsum("kijab,kijb->kija", B, tb)
+            yb = jnp.einsum("kijab,kijb->kija", B, tb, precision=HI)
             y_all = y_all + jnp.einsum("kijm,sm->kijs", yb, X,
                                        precision=HI)
 
@@ -1104,7 +1104,7 @@ class StructuredProgram:
             part = jnp.einsum("kijs,ns->kijn", sl, M, precision=HI)
             x2c = part if x2c is None else x2c + part
         if x2c is not None:
-            x1 = x1 - jnp.einsum("kijab,kijb->kija", f["G"], x2c)
+            x1 = x1 - jnp.einsum("kijab,kijb->kija", f["G"], x2c, precision=HI)
 
         # merge separators into the channel vector (valid slots are
         # disjoint across templates; invalid slots are zero in x2; the

@@ -101,10 +101,17 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         """CGS2 against basis vectors 0..k (masked)."""
         mask = (jnp.arange(m + 1) <= k).astype(w.real.dtype)
         Vc = V.conj() if is_complex else V
-        h1 = (Vc @ w) * mask
-        w = w - V.T @ h1
-        h2 = (Vc @ w) * mask
-        w = w - V.T @ h2
+        # TRUE-dtype dots: the TPU default computes f32 products in
+        # single bf16 passes; 2^-8-class rounding in CGS2 skews the
+        # basis and the f32 inner solves pay ~3x the iterations
+        # (stokes128 L=2: 427 TPU vs 148 CPU at identical config).
+        # These matvecs are HBM-bound on V either way, so the extra
+        # MXU passes are ~free.
+        HI = lax.Precision.HIGHEST
+        h1 = jnp.matmul(Vc, w, precision=HI) * mask
+        w = w - jnp.matmul(V.T, h1, precision=HI)
+        h2 = jnp.matmul(Vc, w, precision=HI) * mask
+        w = w - jnp.matmul(V.T, h2, precision=HI)
         return w, h1 + h2
 
     def body(state):
@@ -159,7 +166,7 @@ def gmres(op: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     gm = g[:m] * (jnp.arange(m) < k).astype(dtype)
     y = jax.scipy.linalg.solve_triangular(Rm.T[:, :].T, gm, lower=False)
     # correction in the Krylov basis
-    dx = V[:m].T @ y
+    dx = jnp.matmul(V[:m].T, y, precision=lax.Precision.HIGHEST)
     x = x0 + (dx if left else prec(dx))
     return KrylovResult(x=x, iters=k, relres=res, converged=done)
 

@@ -83,6 +83,15 @@ def main():
     from hymls_tpu.stencils import create_testvector
     from hymls_tpu.solvers.mixed import IterativeRefinementSolver
 
+    # config overrides for precision experiments
+    for env, key in (("DECOMP_FACTOR_PRECISION", "Factor Precision"),
+                     ("DECOMP_SCHUR_ASSEMBLY", "Schur Assembly"),
+                     ("DECOMP_VSUM_LEVELS", "Vsum f64 Levels")):
+        v = os.environ.get(env)
+        if v:
+            p.sublist("Preconditioner")[key] = v
+            log(f"override {key} = {v}")
+
     tv = create_testvector(p, K)
     S = IterativeRefinementSolver(K, p, testvector=tv)
     log(f"case {case}: n={K.shape[0]}, computing factors ...")

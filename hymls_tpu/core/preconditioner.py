@@ -140,8 +140,12 @@ from .dense import (on_accelerator as _on_accelerator,
 
 
 def _bmm(A, x):
-    """Batched matrix-vector: (s,m,n) @ (s,n) -> (s,m)."""
-    return jnp.einsum("smn,sn->sm", A, x)
+    """Batched matrix-vector: (s,m,n) @ (s,n) -> (s,m).  TRUE-dtype
+    product: TPU f32 einsums default to single bf16 passes whose 2^-8
+    rounding degrades the V-cycle as a preconditioner (see
+    solvers/krylov.ortho); HBM-bound on A either way."""
+    return jnp.einsum("smn,sn->sm", A, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _drop_rel_diag(vals, rows, cols, diag_entry, tol=SMALL_ENTRY):
@@ -843,16 +847,17 @@ class Preconditioner:
         self.params = params
         self.dtype = dtype
         # Factor (assembly) precision may exceed the apply precision:
-        # the multilevel Schur assembly A22 - A21 A11^-1 A12 cancels
-        # catastrophically in f32 (measured on skew 32^3 Stokes L=2:
-        # f32-assembled coarse values alone give 4.7% apply error and
-        # the full f32 pipeline 86%, while f64-assembled values CAST to
-        # f32 give 3e-6 — the storage/inversion precision is irrelevant,
-        # the assembly arithmetic is everything).  'Factor Precision'
-        # = 'f64' therefore runs the factor pipeline in f64 and casts
-        # the resulting factors to the apply dtype.  This is the
+        # 'Factor Precision' = 'f64' runs the factor pipeline in f64
+        # and casts the resulting factors to the apply dtype — the
         # TPU-native analogue of the reference doing all setup in
         # double (HYMLS_SchurPreconditioner.cpp AssembleTransformAndDrop).
+        # NOTE: with every assembly product pinned to true f32
+        # (precision=HIGHEST — XLA:TPU otherwise lowers f32 matmuls to
+        # one bf16 pass, whose 2^-8 rounding is what historically made
+        # f32 assembly 'cancel'), the all-f32 chain holds iteration
+        # parity with f64 assembly on every measured multilevel case
+        # (tools/f32_quality_cpu.py, /tmp decisive runs, round 4), so
+        # 'Same' is the default and 'f64' the opt-in.
         fprec = params.sublist("Preconditioner").get(
             "Factor Precision", "Same")
         if factor_dtype is None and fprec == "f64" and \

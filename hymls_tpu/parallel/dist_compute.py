@@ -404,12 +404,18 @@ class DistributedCompute:
                 A12 = src_ext[fp["A12_idx"]]
                 A21 = src_ext[fp["A21_idx"]]
                 A22 = src_ext[fp["A22_idx"]]
-                G = A11inv @ A12
-                T11 = -(A21 @ G)
+                # TRUE-dtype products, matching the replicated chain
+                # (core/preconditioner._compute_level): bf16-pass f32
+                # matmuls destroy multilevel assembly quality on TPU
+                HI = jax.lax.Precision.HIGHEST
+                G = jnp.matmul(A11inv, A12, precision=HI)
+                T11 = -jnp.matmul(A21, G, precision=HI)
                 if lm["apply_ot"]:
                     Q = fp["Q"]
-                    T22q = Q @ A22 @ Q
-                    T11q = Q @ T11 @ Q
+                    T22q = jnp.matmul(jnp.matmul(Q, A22, precision=HI),
+                                      Q, precision=HI)
+                    T11q = jnp.matmul(jnp.matmul(Q, T11, precision=HI),
+                                      Q, precision=HI)
                 else:
                     T22q, T11q = A22, T11
 

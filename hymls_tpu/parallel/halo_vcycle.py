@@ -43,6 +43,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# TRUE-dtype block applies: TPU f32 einsums default to bf16 passes,
+# which degrades the V-cycle as a preconditioner (see core/structured)
+_HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.dense import dense_solve as _dense_solve
@@ -574,8 +578,8 @@ class HaloApply:
 
             in_ext = _cat0(b_loc)
             b1 = in_ext[dp["int_pos_loc"]]
-            x1 = jnp.einsum("smn,sn->sm", fac["A11inv"], b1)
-            y2c = jnp.einsum("smn,sn->sm", fac["A21"], x1)
+            x1 = jnp.einsum("smn,sn->sm", fac["A11inv"], b1, precision=_HI)
+            y2c = jnp.einsum("smn,sn->sm", fac["A21"], x1, precision=_HI)
             y2c_ext = _cat0(y2c)
             recvs = exchange(y2c_ext, dp, "y2", lm["y2_offsets"])
             cat = _cat0(y2c, *recvs) if recvs else _cat0(y2c)
@@ -587,7 +591,7 @@ class HaloApply:
 
             t_ext = _cat0(t)
             tb = t_ext[dp["blk_pos_loc"]]
-            yb = jnp.einsum("smn,sn->sm", fac["blkinv"], tb)
+            yb = jnp.einsum("smn,sn->sm", fac["blkinv"], tb, precision=_HI)
             y_blk = _cat0(yb)[dp["blk_inv_idx_loc"]]
 
             t_vs = t_ext[dp["vsum_pos_loc"]]
@@ -615,7 +619,7 @@ class HaloApply:
             xrecv = exchange(x2_ext, dp, "x2", lm["x2_offsets"])
             xcat = _cat0(x2, *xrecv) if xrecv else x2_ext
             x2sd = xcat[dp["sd_sep_loc"]]
-            x1 = x1 - jnp.einsum("smn,sn->sm", fac["G"], x2sd)
+            x1 = x1 - jnp.einsum("smn,sn->sm", fac["G"], x2sd, precision=_HI)
 
             return _cat0(x1, x2)[dp["node_src_loc"]]
 
@@ -636,8 +640,8 @@ class HaloApply:
 
             in_ext = _cat0(b_loc)
             b1 = in_ext[dp["int_pos_loc"]]
-            x1 = jnp.einsum("smn,sn->sm", fac["A11inv"], b1)
-            y2c = jnp.einsum("smn,sn->sm", fac["A21"], x1)
+            x1 = jnp.einsum("smn,sn->sm", fac["A11inv"], b1, precision=_HI)
+            y2c = jnp.einsum("smn,sn->sm", fac["A21"], x1, precision=_HI)
             y2c_ext = _cat0(y2c)
             recvs = exchange(y2c_ext, dp, "y2", lm["y2_offsets"])
             cat = _cat0(y2c, *recvs) if recvs else _cat0(y2c)
@@ -649,12 +653,12 @@ class HaloApply:
 
             t_ext = _cat0(t)
             tb = t_ext[dp["blk_pos_loc"]]
-            yb = jnp.einsum("smn,sn->sm", fac["blkinv"], tb)
+            yb = jnp.einsum("smn,sn->sm", fac["blkinv"], tb, precision=_HI)
             y_blk = _cat0(yb)[dp["blk_inv_idx_loc"]]
 
             # border tail: Tc = T - sum(W1'x1) - sum(bW'y_blk), one psum
-            q_part = jnp.einsum("sim,si->m", bb["W1"], x1)
-            c_part = jnp.einsum("pm,p->m", bb["bW"], y_blk)
+            q_part = jnp.einsum("sim,si->m", bb["W1"], x1, precision=_HI)
+            c_part = jnp.einsum("pm,p->m", bb["bW"], y_blk, precision=_HI)
             Tc = T - jax.lax.psum(q_part + c_part, axis)
 
             t_vs = t_ext[dp["vsum_pos_loc"]]
@@ -685,8 +689,8 @@ class HaloApply:
             xrecv = exchange(x2_ext, dp, "x2", lm["x2_offsets"])
             xcat = _cat0(x2, *xrecv) if xrecv else x2_ext
             x2sd = xcat[dp["sd_sep_loc"]]
-            x1 = x1 - jnp.einsum("smn,sn->sm", fac["G"], x2sd) \
-                - jnp.einsum("sim,m->si", bb["Q1"], S)
+            x1 = x1 - jnp.einsum("smn,sn->sm", fac["G"], x2sd, precision=_HI) \
+                - jnp.einsum("sim,m->si", bb["Q1"], S, precision=_HI)
 
             return _cat0(x1, x2)[dp["node_src_loc"]], S
 

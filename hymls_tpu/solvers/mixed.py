@@ -74,22 +74,21 @@ class IterativeRefinementSolver:
             "Convergence Tolerance"] = self.inner_tol
         inner_params.sublist("Solver").sublist("Iterative Solver")[
             "Maximum Iterations"] = self.inner_maxiter
-        # Factor assembly defaults to f64 for MULTILEVEL (>= 2 level)
-        # preconditioners, where the recursive Schur assembly cancels
-        # catastrophically in f32 (skew 32^3 L=2 diverges outright;
-        # stokes 128^2 L=2 needs 5x the inner iterations), while
-        # f64-assembled factors cast to f32 are within 3e-6 of the f64
-        # apply.  With a single reduction level there is no recursive
-        # cancellation chain and f32 assembly is measured safe (round-1
-        # cavity-64 L=1: relres 5e-15 at reference iteration parity),
-        # so L<=1 defaults to 'Same' — skipping the emulated-f64
-        # assembly matmuls and halving the factor-gather payloads
-        # (~25% off the fused Newton step on v5e).  Opt in/out
-        # explicitly with 'Factor Precision' = 'f64' | 'Same'.
-        n_levels = params.sublist("Preconditioner").get(
-            "Number of Levels", 1)
+        # Factor assembly defaults to 'Same' (all-f32 factor chain).
+        # The historical multilevel f32 blowups (skew 32^3 L=2
+        # diverging, stokes 128^2 L=2 at 5x inner iterations) were NOT
+        # f32 cancellation: they were XLA:TPU lowering f32 matmuls to
+        # single-pass bf16 (2^-8 rounding).  With every factor/apply
+        # product pinned to precision=HIGHEST (true f32), iteration
+        # parity with the f64-assembled chain holds everywhere
+        # measured: TPU cavity128 skew L=2 69 vs 68 inner iters (and
+        # the factor drops 0.143 s -> 0.038 s, the fused Newton step
+        # 0.198 s -> 0.104 s); CPU stokes128 L=2 148 vs 149; CPU skew
+        # 32^3 L=2 245 vs 243 (tools/f32_quality_cpu.py).  Opt back
+        # into the emulated-f64 assembly with 'Factor Precision' =
+        # 'f64' for matrices that do cancel beyond f32 range.
         fprec = params.sublist("Preconditioner").get(
-            "Factor Precision", "f64" if n_levels >= 2 else "Same")
+            "Factor Precision", "Same")
         # the distributed factorization (parallel/dist_compute.py)
         # implements the full-f64 chain; pin the replicated build to
         # the same assembly so dist-vs-replicated iteration identity

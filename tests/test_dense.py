@@ -179,30 +179,50 @@ def test_factor_precision_f64_assembly():
     assert e_up < e_same / 10, (e_up, e_same)
 
 
-def test_ir_solver_defaults_to_f64_assembly():
-    """IterativeRefinementSolver must converge on a multilevel problem
-    through its (default f64-assembly) f32 inner path."""
+def test_ir_solver_factor_precision_default_and_optin():
+    """IterativeRefinementSolver defaults to the all-f32 true-precision
+    factor chain (measured at iteration parity with f64 assembly once
+    every product is precision=HIGHEST — round 4), converging a
+    multilevel problem to f64 tolerance through the f32 inner path;
+    'Factor Precision' = 'f64' opts back into the upcast chain."""
     from hymls_tpu.config import Params
     from hymls_tpu.stencils import create_matrix, create_testvector
     from hymls_tpu.solvers.mixed import IterativeRefinementSolver
 
-    params = Params({
-        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
-                    "nx": 32, "ny": 32},
-        "Solver": {"Krylov Method": "GMRES",
-                   "Iterative Solver": {"Maximum Iterations": 200,
-                                        "Convergence Tolerance": 1e-10}},
-        "Preconditioner": {"Separator Length": 4, "Number of Levels": 2},
-    })
+    def make(fprec=None):
+        prec = {"Separator Length": 4, "Number of Levels": 2}
+        if fprec:
+            prec["Factor Precision"] = fprec
+        return Params({
+            "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                        "nx": 32, "ny": 32},
+            "Solver": {"Krylov Method": "GMRES",
+                       "Iterative Solver": {"Maximum Iterations": 200,
+                                            "Convergence Tolerance":
+                                                1e-10}},
+            "Preconditioner": prec,
+        })
+
+    params = make()
     K = create_matrix(params)
     tv = create_testvector(params, K)
     S = IterativeRefinementSolver(K, params, testvector=tv).compute()
-    assert S.precond.factor_dtype == jnp.float64
+    assert S.precond.factor_dtype == jnp.float32
     rng = np.random.default_rng(1)
     b = np.asarray(K @ rng.standard_normal(K.shape[0]))
     x = np.asarray(S.solve(b))
     relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
     assert relres <= 1e-10, relres
+    iters_f32 = int(S._last_result.iters)
+
+    S64 = IterativeRefinementSolver(K, make("f64"), testvector=tv)
+    assert S64.precond.factor_dtype == jnp.float64
+    S64.compute()
+    x64 = np.asarray(S64.solve(b))
+    relres64 = np.linalg.norm(K @ x64 - b) / np.linalg.norm(b)
+    assert relres64 <= 1e-10, relres64
+    # iteration parity between the chains (the flip's justification)
+    assert iters_f32 <= int(S64._last_result.iters * 1.15) + 2
 
 
 def test_inv_chain_hybrid_accuracy():

@@ -148,42 +148,49 @@ def test_dist_matvec_matches_global():
         f"max rel diff {np.abs(y - y_ref).max() / scale}"
 
 
+def _build_mixed(dist, fprec=None):
+    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+
+    prec = {"Separator Length": 4,
+            "Number of Levels": 2,
+            "Structured Apply": False,
+            # pin the same assembly on BOTH builds: the
+            # iteration-identity check needs bit-matching factors
+            "Schur Assembly": "Full f64"}
+    if fprec is not None:
+        prec["Factor Precision"] = fprec
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Left or Right Preconditioning": "Right",
+                   "Distributed Apply": dist,
+                   "Iterative Solver": {"Maximum Iterations": 200,
+                                        "Convergence Tolerance":
+                                            1e-10}},
+        "Preconditioner": prec,
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    S = IterativeRefinementSolver(K, params, testvector=tv)
+    S.compute()
+    return K, S
+
+
 @pytest.mark.parametrize("ndev", [2, 3, 5, 8])
 def test_dist_mixed_newton_step(ndev):
     """The PRODUCTION path distributed: the fused mixed-precision
-    Newton step (f64-assembly/f32-store distributed factorization +
+    Newton step (all-f32 true-precision distributed factorization +
     f32 halo GMRES inside the f64 IR loop) over meshes of 2/3/5/8
     devices — non-divisible subdomain counts exercise the ceil-block
     ownership padding (reference 1..8-rank unit-test matrix,
     testSuite/unit_tests/CMakeLists.txt:36-48)."""
-    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
-
     def build(dist):
-        params = Params({
-            "Problem": {"Equations": "Stokes-C", "Dimension": 2,
-                        "nx": 32, "ny": 32},
-            "Solver": {"Krylov Method": "GMRES",
-                       "Left or Right Preconditioning": "Right",
-                       "Distributed Apply": dist,
-                       "Iterative Solver": {"Maximum Iterations": 200,
-                                            "Convergence Tolerance":
-                                                1e-10}},
-            # pin the classic full-f64 assembly on BOTH builds: the
-            # distributed factorization implements that chain, and the
-            # iteration-identity check needs bit-matching factors
-            "Preconditioner": {"Separator Length": 4,
-                               "Number of Levels": 2,
-                               "Structured Apply": False,
-                               "Schur Assembly": "Full f64"},
-        })
-        K = create_matrix(params)
-        tv = create_testvector(params, K)
-        S = IterativeRefinementSolver(K, params, testvector=tv)
-        S.compute()
-        return K, S
+        return _build_mixed(dist)
 
     K, S0 = build(False)
-    assert S0.precond._upcast, "multilevel default should be f64 factors"
+    assert not S0.precond._upcast, \
+        "production default should be the all-f32 factor chain"
     rng = np.random.default_rng(0)
     b = K @ rng.standard_normal(K.shape[0])
     bj = jnp.asarray(b, jnp.float64)
@@ -215,6 +222,40 @@ def test_dist_mixed_newton_step(ndev):
     # IR loop takes the same trajectory
     assert int(r.iters) == int(r0.iters), \
         f"inner iters {int(r.iters)} vs replicated {int(r0.iters)}"
+
+
+def test_dist_mixed_newton_step_f64_factors():
+    """The opt-in factor-upcast chain (f64 assembly, f32 store —
+    'Factor Precision' = 'f64') distributed: same identity gate as
+    the production all-f32 sweep above (reference does all setup in
+    double, src/HYMLS_MatrixBlock.cpp:74-134)."""
+    K, S0 = _build_mixed(False, fprec="f64")
+    assert S0.precond._upcast
+    rng = np.random.default_rng(0)
+    b = K @ rng.standard_normal(K.shape[0])
+    bj = jnp.asarray(b, jnp.float64)
+    n0, dpl0, ex0, apl0 = S0.newton_step_fn()
+    r0 = jax.device_get(n0(S0.op64.vals, S0.solver.op.vals, dpl0, ex0,
+                           apl0, bj))
+
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        K2, S = _build_mixed(True, fprec="f64")
+        nfn, dpl, ex, apl = S.newton_step_fn()
+        assert S._dist is not None, "distributed path did not activate"
+        assert S._dist.dcompute is not None and S._dist.dcompute._upcast
+        r = jax.device_get(nfn(S.op64.vals, S.solver.op.vals, dpl, ex,
+                               apl, bj))
+    finally:
+        set_mesh(None)
+    assert bool(r.converged)
+    x = np.asarray(r.x)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    relres0 = (np.linalg.norm(K @ np.asarray(r0.x) - b)
+               / np.linalg.norm(b))
+    assert relres <= max(relres0 * 1.5, 1e-10)
+    assert int(r.iters) == int(r0.iters)
 
 
 def test_dist_bordered_solve():

@@ -284,6 +284,9 @@ def test_vsum_split_iteration_parity():
     K = None
     for mode in ("Full f64", "Vsum f64"):
         params = _stokes_params(32, 2, schur_assembly=mode)
+        # the split is an upcast-chain feature; opt into f64 factors
+        # (the production default is the all-f32 chain)
+        params.sublist("Preconditioner")["Factor Precision"] = "f64"
         if K is None:
             K = create_matrix(params)
         tv = create_testvector(params, K)

@@ -39,7 +39,9 @@ def build(name):
         p = _stokes_params(128, 2, 2, "Cartesian")
         K = create_matrix(p)
     elif name == "skew32cube":
-        p = _stokes_params(32, 3, 2, "Skew Cartesian", sx=8)
+        # same config as bench.py stokes32cube_skew_L2
+        p = _stokes_params(32, 3, 2, "Skew Cartesian",
+                           maxiter=500, tol=1e-8)
         K = create_matrix(p)
     elif name == "cavity128":
         K, _, _ = _cavity128()

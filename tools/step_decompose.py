@@ -55,6 +55,14 @@ def build_case(name):
     elif name == "cavity64":
         K, b, _ = _cavity64()
         p = _stokes_params(64, 2, 1, "Cartesian")
+    elif name == "stokes32cube":
+        from hymls_tpu.stencils import create_matrix
+        p = _stokes_params(32, 3, 2, "Skew Cartesian",
+                           maxiter=500, tol=1e-8)
+        p.sublist("Solver").sublist("Iterative Solver")["Num Blocks"] = 60
+        K = create_matrix(p)
+        rng = np.random.default_rng(2)
+        b = K @ rng.standard_normal(K.shape[0])
     else:
         raise SystemExit(f"unknown case {name}")
     return p, K, b

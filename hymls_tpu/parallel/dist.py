@@ -147,7 +147,14 @@ class DistributedSolve:
         self.dplans = self.app.dplans
         self.nnz = K.nnz
 
-        offsets = meta["offsets"]
+        self.prep_sm, self.mv_sm = self._mv_shard_maps(
+            meta["offsets"], self.mv_plan)
+
+    def _mv_shard_maps(self, offsets, plan):
+        """shard_map (prepare, matvec) pair for one ELL+exchange plan
+        (the primary K plan, or an extra operator from
+        make_extra_matvec)."""
+        mesh, axis, ndev = self.mesh, self.axis, self.mesh.size
 
         def shift(x, d):
             perm = [(i, i + d) for i in range(ndev)
@@ -167,14 +174,39 @@ class DistributedSolve:
                 [jnp.zeros((1,), x_l.dtype)])
             return jnp.sum(pv_l * x_ext[mvp["mv_col"][0]], axis=1)
 
-        mvspec = jax.tree.map(lambda _: P(axis), self.mv_plan)
-        self.prep_sm = jax.shard_map(
+        mvspec = jax.tree.map(lambda _: P(axis), plan)
+        prep_sm = jax.shard_map(
             prep_local, mesh=mesh, in_specs=(P(), mvspec),
             out_specs=P(axis), check_vma=False)
-        self.mv_sm = jax.shard_map(
+        mv_sm = jax.shard_map(
             mv_local, mesh=mesh,
             in_specs=(P(axis), mvspec, P(axis)),
             out_specs=P(axis), check_vma=False)
+        return prep_sm, mv_sm
+
+    def make_extra_matvec(self, K2: sp.csr_matrix):
+        """Owner-layout SpMV plan for a SECOND operator on the same
+        grid (the B part of a complex pencil A + iB, or a mass
+        matrix): its own ELL + ppermute exchange plan over the same
+        ownership.  Returns pure (prepare, matvec) callables
+        (reference: ComplexOperator applies A and B as independent
+        distributed Epetra operators, src/HYMLS_ComplexOperator.cpp)."""
+        if K2.shape[0] != self.n:
+            raise ValueError(
+                f"extra operator size {K2.shape[0]} != grid {self.n}")
+        gidx = np.asarray(self.app._bmaps["gather_idx"], np.int64)
+        plan_np, meta = build_matvec_plan(K2.tocsr(), gidx, self.L,
+                                          self.mesh.size)
+        plan = {k: jnp.asarray(v, jnp.int32) for k, v in plan_np.items()}
+        prep_sm, mv_sm = self._mv_shard_maps(meta["offsets"], plan)
+
+        def prepare(vals):
+            return prep_sm(vals, plan)
+
+        def matvec(pvals, x_flat):
+            return mv_sm(pvals, plan, x_flat)
+
+        return prepare, matvec
 
     # --- pure building blocks (call inside jit) -------------------------
     def scatter(self, b):

@@ -348,6 +348,105 @@ def test_dist_deflated_solve():
         np.abs(np.asarray(x_ref)).max() < 1e-6
 
 
+def test_dist_complex_solve():
+    """Distributed complex solve: complex128 GMRES in the flat owner
+    layout, A and B on independent ppermute ELL plans, the real
+    V-cycle applied to Re/Im — iteration identity + solution parity
+    vs the replicated complex solve (reference ComplexSolver runs
+    over distributed Epetra vectors, src/HYMLS_ComplexSolver.hpp:41-46)."""
+    import scipy.sparse as sp
+    from hymls_tpu.solvers.complex_solver import ComplexSolver
+    from hymls_tpu.stencils import laplace2d
+
+    nx = 32
+    A = laplace2d(nx, nx)
+    B = sp.identity(A.shape[0], format="csr") * 0.5
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Iterative Solver": {"Maximum Iterations": 100,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4,
+                           "Number of Levels": 2,
+                           "Structured Apply": False},
+    })
+    tv = create_testvector(params, A)
+    P0 = Preconditioner(A, params, testvector=tv).compute()
+    rng = np.random.default_rng(11)
+    z_ex = rng.standard_normal(A.shape[0]) + 1j * rng.standard_normal(
+        A.shape[0])
+    b = A @ z_ex + 1j * (B @ z_ex)
+    CS0 = ComplexSolver(A, P0, params, B=B)
+    z_ref, res_ref = CS0.apply_inverse(b)
+
+    params2 = params.copy()
+    params2.sublist("Solver")["Distributed Apply"] = True
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        P2 = Preconditioner(A, params2, testvector=tv).compute()
+        CS = ComplexSolver(A, P2, params2, B=B)
+        z, res = CS.apply_inverse(b)
+        assert CS._dist is not None, "distributed path did not activate"
+    finally:
+        set_mesh(None)
+    assert int(res.iters) == int(res_ref.iters)
+    zn, zr = np.asarray(z), np.asarray(z_ref)
+    rel = np.linalg.norm(zn - z_ex) / np.linalg.norm(z_ex)
+    assert rel < 1e-8, rel
+    assert np.abs(zn - zr).max() / np.abs(zr).max() < 1e-8
+
+
+def test_dist_complex_bordered_solve():
+    """Distributed complex BORDERED solve (the ComplexBorderedSolver
+    combination): augmented complex vectors in the owner layout, the
+    m-tail replicated/psum'd — parity vs the replicated bordered
+    complex solve (reference src/HYMLS_ComplexBorderedSolver)."""
+    import scipy.sparse as sp
+    from hymls_tpu.solvers.complex_solver import ComplexSolver
+    from hymls_tpu.stencils import laplace2d
+
+    nx = 32
+    A = laplace2d(nx, nx)
+    B = sp.identity(A.shape[0], format="csr") * 0.25
+    n = A.shape[0]
+    params = Params({
+        "Problem": {"Equations": "Laplace", "Dimension": 2,
+                    "nx": nx, "ny": nx},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Iterative Solver": {"Maximum Iterations": 150,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4,
+                           "Number of Levels": 2,
+                           "Structured Apply": False},
+    })
+    tv = create_testvector(params, A)
+    rng = np.random.default_rng(13)
+    V = rng.standard_normal((n, 1))
+    V /= np.linalg.norm(V)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    P0 = Preconditioner(A, params, testvector=tv).compute()
+    CS0 = ComplexSolver(A, P0, params, B=B).set_border(V)
+    z_ref, res_ref = CS0.apply_inverse(b)
+
+    params2 = params.copy()
+    params2.sublist("Solver")["Distributed Apply"] = True
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        P2 = Preconditioner(A, params2, testvector=tv).compute()
+        CS = ComplexSolver(A, P2, params2, B=B).set_border(V)
+        z, res = CS.apply_inverse(b)
+        assert CS._dist is not None, "distributed path did not activate"
+    finally:
+        set_mesh(None)
+    assert int(res.iters) == int(res_ref.iters)
+    zn, zr = np.asarray(z), np.asarray(z_ref)
+    assert np.abs(zn - zr).max() / np.abs(zr).max() < 1e-8
+
+
 def test_dist_fallback_unshardable():
     """With no active mesh the solver warns and falls back."""
     K, P, S = _build(16, 1, "Laplace", dist=True)

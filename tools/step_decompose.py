@@ -94,9 +94,14 @@ def main():
     # config overrides for precision experiments
     for env, key in (("DECOMP_FACTOR_PRECISION", "Factor Precision"),
                      ("DECOMP_SCHUR_ASSEMBLY", "Schur Assembly"),
-                     ("DECOMP_VSUM_LEVELS", "Vsum f64 Levels")):
+                     ("DECOMP_VSUM_LEVELS", "Vsum f64 Levels"),
+                     ("DECOMP_STRUCTURED", "Structured Apply")):
         v = os.environ.get(env)
         if v:
+            if v in ("0", "False", "false"):
+                v = False
+            elif v in ("1", "True", "true"):
+                v = True
             p.sublist("Preconditioner")[key] = v
             log(f"override {key} = {v}")
 

@@ -29,6 +29,18 @@ import jax as _jax
 # be selected for speed on TPU.
 _jax.config.update("jax_enable_x64", True)
 
+# TRUE-dtype products everywhere: XLA:TPU lowers default-precision f32
+# matmuls/einsums to a SINGLE bf16 pass (2^-8 rounding).  For a linear
+# solver that is a correctness bug, not a speed knob — it degraded
+# Gram-Schmidt bases, Schur assembly and one-hot value picks (e.g. the
+# Gauss-Jordan inverse: stokes128 L=2 inner iterations 150 -> 558
+# through one unpinned pick).  'highest' splits f32 operands into bf16
+# triples on the MXU (~f32 accurate); f64/complex paths are emulated
+# and unaffected.  Hot sites additionally pin precision=HIGHEST
+# explicitly so they stay correct even if an embedding application
+# resets this global.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import Params, load_xml  # noqa: E402
 from .solvers.solver import Solver  # noqa: E402
 from .core.preconditioner import Preconditioner  # noqa: E402

@@ -35,6 +35,12 @@ def on_accelerator() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# TRUE-dtype products: a default-precision f32 matmul on TPU is one
+# bf16 pass; every residual/refinement product here must be exact-f32
+# class (see gj_inverse note and hymls_tpu/__init__).
+_HI = jax.lax.Precision.HIGHEST
+
+
 def gj_inverse(A):
     """Batched Gauss-Jordan inverse with partial pivoting as pure
     elementwise/one-hot VPU ops (no custom calls, no chunking, no
@@ -56,21 +62,30 @@ def gj_inverse(A):
     iota = jnp.arange(n)
     iota2 = jnp.arange(2 * n)
 
+    # one-hot picks MUST be value-exact: a default-precision f32
+    # einsum on TPU runs as ONE bf16 pass, rounding every extracted
+    # row/column to 2^-8 — which silently degraded every GJ inverse to
+    # bf16 quality (round 4: stokes128 L=2 inner iterations blew up
+    # 150 -> 558 through exactly this).  HIGHEST splits the operands
+    # into bf16 triples whose one-hot products reconstruct the f32
+    # values exactly.
+    HI = jax.lax.Precision.HIGHEST
+
     def step(k, W):
         selk = (iota2 == k).astype(dtype)                 # col-k pick
-        colk = jnp.einsum("bij,j->bi", W, selk)
+        colk = jnp.einsum("bij,j->bi", W, selk, precision=HI)
         cand = jnp.where(iota[None, :] >= k, jnp.abs(colk), -1.0)
         p = jnp.argmax(cand, axis=1)                      # (B,)
         onep = (iota[None, :] == p[:, None]).astype(dtype)
         onek = (iota[None, :] == k).astype(dtype)
-        rowp = jnp.einsum("bij,bi->bj", W, onep)          # (B, 2n)
-        rowk = jnp.einsum("bij,bi->bj", W, onek)
+        rowp = jnp.einsum("bij,bi->bj", W, onep, precision=HI)  # (B, 2n)
+        rowk = jnp.einsum("bij,bi->bj", W, onek, precision=HI)
         W = W + onek[:, :, None] * (rowp - rowk)[:, None, :] \
               + onep[:, :, None] * (rowk - rowp)[:, None, :]
-        piv = jnp.einsum("bj,j->b", rowp, selk)
+        piv = jnp.einsum("bj,j->b", rowp, selk, precision=HI)
         piv = jnp.where(piv == 0, jnp.ones_like(piv), piv)
         rowk_s = rowp / piv[:, None]
-        colk2 = jnp.einsum("bij,j->bi", W, selk)
+        colk2 = jnp.einsum("bij,j->bi", W, selk, precision=HI)
         factor = jnp.where(iota[None, :] == k,
                            jnp.zeros_like(colk2), colk2)
         W = W - factor[:, :, None] * rowk_s[:, None, :]
@@ -138,7 +153,7 @@ def _newton_refine(A, X, max_steps: int, tol: float = 1e-13):
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
 
     def resid(X):
-        return jnp.max(jnp.abs(eye - A @ X))
+        return jnp.max(jnp.abs(eye - jnp.matmul(A, X, precision=_HI)))
 
     def cond_fn(state):
         X, r, it = state
@@ -146,8 +161,8 @@ def _newton_refine(A, X, max_steps: int, tol: float = 1e-13):
 
     def body_fn(state):
         X, r, it = state
-        R = eye - A @ X
-        Xn = X + X @ R
+        R = eye - jnp.matmul(A, X, precision=_HI)
+        Xn = X + jnp.matmul(X, R, precision=_HI)
         rn = resid(Xn)
         # guard against divergence (rho0 >= 1): keep the better iterate
         keep = rn <= r
@@ -209,8 +224,9 @@ def inv_chain(A, force_hybrid: bool = False):
         return inv_newton(A)
     X32 = _batched_inv(A.astype(jnp.float32))
     X = X32.astype(jnp.float64)
-    R = jnp.eye(A.shape[-1], dtype=A.dtype) - A @ X
-    dX = (X32 @ R.astype(jnp.float32)).astype(jnp.float64)
+    R = jnp.eye(A.shape[-1], dtype=A.dtype) - jnp.matmul(A, X, precision=_HI)
+    dX = jnp.matmul(X32, R.astype(jnp.float32),
+                    precision=_HI).astype(jnp.float64)
     return X + dX
 
 
@@ -236,7 +252,7 @@ def warm_inv(A, X0, fresh_fn=None, accept=0.25, max_steps=4, tol=None):
     if tol is None:
         tol = 1e-13 if A.dtype == jnp.float64 else 1e-6
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
-    r0 = jnp.max(jnp.abs(eye - A @ X0))
+    r0 = jnp.max(jnp.abs(eye - jnp.matmul(A, X0, precision=_HI)))
     return jax.lax.cond(
         r0 < accept,
         lambda: _newton_refine(A, X0, max_steps=max_steps, tol=tol),
@@ -257,14 +273,15 @@ def warm_inv_chain(A, X0):
     if A.size == 0:
         return inv_chain(A)
     eye32 = jnp.eye(A.shape[-1], dtype=jnp.float32)
-    r0 = jnp.max(jnp.abs(eye32 - A32 @ X0))
+    r0 = jnp.max(jnp.abs(eye32 - jnp.matmul(A32, X0, precision=_HI)))
     X32 = jax.lax.cond(
         r0 < 0.25,
         lambda: _newton_refine(A32, X0, max_steps=4, tol=1e-6),
         lambda: _batched_inv(A32))
     X = X32.astype(jnp.float64)
-    R = jnp.eye(A.shape[-1], dtype=A.dtype) - A @ X
-    dX = (X32 @ R.astype(jnp.float32)).astype(jnp.float64)
+    R = jnp.eye(A.shape[-1], dtype=A.dtype) - jnp.matmul(A, X, precision=_HI)
+    dX = jnp.matmul(X32, R.astype(jnp.float32),
+                    precision=_HI).astype(jnp.float64)
     return X + dX
 
 
@@ -280,5 +297,5 @@ def dense_factor(A) -> dict:
 def dense_solve(fac: dict, rhs):
     """Solve against a `dense_factor` result; rhs (n,) or (n, k)."""
     if "inv" in fac:
-        return fac["inv"] @ rhs
+        return jnp.matmul(fac["inv"], rhs, precision=_HI)
     return jax.scipy.linalg.lu_solve((fac["lu"], fac["piv"]), rhs)

@@ -612,20 +612,24 @@ def _compute_level_border(fac, dp, sizes, V, W, C):
 
     V1 = Vx[dp["int_pos"]]                   # (s, ni, m)
     W1 = Wx[dp["int_pos"]]
-    Q1 = fac["A11inv"] @ V1                  # (s, ni, m)
+    Q1 = jnp.matmul(fac["A11inv"], V1,
+                    precision=jax.lax.Precision.HIGHEST)   # (s, ni, m)
 
     def gather_sep(contrib):
         flat = jnp.concatenate([contrib.reshape(-1, m),
                                 jnp.zeros((1, m), dtype=dtype)])
         return jnp.sum(flat[dp["sep_from_sd"]], axis=1)
 
-    sV = -(fac["A21"] @ Q1)                  # (s, ns, m)
+    sV = -jnp.matmul(fac["A21"], Q1,
+                     precision=jax.lax.Precision.HIGHEST)  # (s, ns, m)
     schurV = gather_sep(sV) + V[dp["sep_pos_in_nodes"]]
 
-    sW = -jnp.einsum("sij,sim->sjm", fac["G"], W1)
+    sW = -jnp.einsum("sij,sim->sjm", fac["G"], W1,
+                     precision=jax.lax.Precision.HIGHEST)
     schurW = gather_sep(sW) + W[dp["sep_pos_in_nodes"]]
 
-    Cp = C - jnp.einsum("sim,sik->mk", W1, Q1)
+    Cp = C - jnp.einsum("sim,sik->mk", W1, Q1,
+                        precision=jax.lax.Precision.HIGHEST)
 
     bV = _apply_ot_multi(schurV, dp)
     bW = _apply_ot_multi(schurW, dp)
@@ -675,7 +679,8 @@ def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
     r2 = b2 - y2
 
     # border rhs: q = T - W1' x1
-    q = T - jnp.einsum("sim,si->m", bfac["W1"], x1)
+    q = T - jnp.einsum("sim,si->m", bfac["W1"], x1,
+                       precision=jax.lax.Precision.HIGHEST)
 
     t = _apply_ot(r2, dp)
 
@@ -685,7 +690,8 @@ def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
     y = _ext(yb.reshape(-1))[dp["blk_inv_idx"]]
 
     # border correction with the non-Vsum part (Vsum entries of y are 0)
-    Tc = q - bfac["bW"].T @ y
+    Tc = q - jnp.matmul(bfac["bW"].T, y,
+                        precision=jax.lax.Precision.HIGHEST)
 
     x_next, S = solve_next(t[dp["vsum_pos"]], Tc)
     x_next_ext = jnp.concatenate([x_next, jnp.zeros((1,), dtype=dtype)])
@@ -697,7 +703,8 @@ def _apply_level_bordered(b, T, fac, bfac, dp, sizes, solve_next):
     x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
     x2sd = x2_ext[dp["sd_sep_pos"]]
     x1 = x1 - _bmm(fac["G"], x2sd)
-    x1 = x1 - jnp.einsum("sim,m->si", bfac["Q1"], S)
+    x1 = x1 - jnp.einsum("sim,m->si", bfac["Q1"], S,
+                         precision=jax.lax.Precision.HIGHEST)
 
     src = jnp.concatenate([x1.reshape(-1), x2,
                            jnp.zeros((1,), dtype=dtype)])
@@ -1317,8 +1324,9 @@ class Preconditioner:
                         else _inv_chain(A11)
                 A12 = _pgather(dp, "A12_idx", vals)
                 A21 = _pgather(dp, "A21_idx", vals)
-                G = A11inv @ A12
-                T11 = -(A21 @ G)
+                HI = jax.lax.Precision.HIGHEST
+                G = jnp.matmul(A11inv, A12, precision=HI)
+                T11 = -jnp.matmul(A21, G, precision=HI)
                 S = _direct_sc_matrix(vals, ddirect, T11, n_sep)
                 fac = {"levels": [{"A11inv": A11inv, "G": G, "A21": A21}]}
                 if border_vals is None:
@@ -1338,13 +1346,16 @@ class Preconditioner:
                 zrow = jnp.zeros((1, m), dtype=V.dtype)
                 V1 = jnp.concatenate([V, zrow])[dp["int_pos"]]
                 W1 = jnp.concatenate([W, zrow])[dp["int_pos"]]
-                Q1 = A11inv @ V1
+                Q1 = jnp.matmul(A11inv, V1, precision=HI)
                 SchurV = V[dp["sep_pos_in_nodes"]] - \
-                    _gather_sum_sep(dp, A21 @ Q1)
-                Q1w = jnp.swapaxes(A11inv, -1, -2) @ W1
+                    _gather_sum_sep(dp, jnp.matmul(A21, Q1, precision=HI))
+                Q1w = jnp.matmul(jnp.swapaxes(A11inv, -1, -2), W1,
+                                 precision=HI)
                 SchurW = W[dp["sep_pos_in_nodes"]] - \
-                    _gather_sum_sep(dp, jnp.swapaxes(A12, -1, -2) @ Q1w)
-                Cs = C - jnp.einsum("sim,sin->mn", W1, Q1)
+                    _gather_sum_sep(dp, jnp.matmul(
+                        jnp.swapaxes(A12, -1, -2), Q1w, precision=HI))
+                Cs = C - jnp.einsum("sim,sin->mn", W1, Q1,
+                                    precision=HI)
                 Maug = jnp.block([[S, SchurV],
                                   [SchurW.T, Cs]])
                 fac["coarse"] = _dense_factor(
@@ -1386,13 +1397,15 @@ class Preconditioner:
                 y2 = jnp.sum(_ext(y2c.reshape(-1))[dp["sep_from_sd"]],
                              axis=1)
                 r2 = b[dp["sep_pos_in_nodes"]] - y2
-                rt = t - jnp.einsum("sim,si->m", bb["W1"], x1)
+                rt = t - jnp.einsum("sim,si->m", bb["W1"], x1,
+                                    precision=jax.lax.Precision.HIGHEST)
                 sol = _dense_solve(factors["coarse"],
                                    jnp.concatenate([r2, rt]))
                 x2, s = sol[:n_sep], sol[n_sep:]
                 x2_ext = jnp.concatenate([x2, jnp.zeros((1,), dtype=dtype)])
                 x1 = x1 - _bmm(fac["G"], x2_ext[dp["sd_sep_pos"]]) \
-                    - bb["Q1"] @ s
+                    - jnp.matmul(bb["Q1"], s,
+                                 precision=jax.lax.Precision.HIGHEST)
                 src = jnp.concatenate([x1.reshape(-1), x2,
                                        jnp.zeros((1,), dtype=dtype)])
                 return src[dp["node_src"]], s

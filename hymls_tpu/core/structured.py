@@ -826,6 +826,12 @@ class StructuredProgram:
         self.levels = levels
         self.coarse = coarse
         self.dtype = dtype
+        # optional GSPMD constraint hook (lev, box_tensor) ->
+        # box_tensor, installed by make_sharded_apply: one sharding
+        # constraint per level entry lets XLA partition the whole
+        # level body (einsums batch over boxes; roll wraparound
+        # becomes collective-permute)
+        self._constrain = None
 
         # dtype conversion in NUMPY before device transfer:
         # jnp.asarray(x, dtype) with a host-side dtype mismatch
@@ -1034,6 +1040,8 @@ class StructuredProgram:
         else:
             r = b.reshape(nK, bz, nJ, by, nI, bx, L.in_chan) \
                  .transpose(0, 2, 4, 1, 3, 5, 6).reshape(nK, nJ, nI, L.NCH)
+        if self._constrain is not None:
+            r = self._constrain(lev, r)
         x1 = jnp.einsum("kijab,kijb->kija", f["A11"], r, precision=HI)
 
         if SW == 0:
@@ -1111,6 +1119,54 @@ class StructuredProgram:
         # one-hot einsum is the scatter-free embed)
         out = x1 + jnp.einsum("kijs,cs->kijc", x2, c["E"], precision=HI)
         return self._exit_level(lev, out, c)
+
+    def sharded_apply_fn(self, mesh, axis_name: Optional[str] = None):
+        """GSPMD-distributed structured V-cycle: returns a pure
+        (sfactors, b, consts) -> x callable whose level bodies are
+        partitioned over `mesh` by sharding the box-grid axis.  The
+        einsums batch over boxes (embarrassingly parallel per shard)
+        and the `jnp.roll` neighbor exchange partitions into local
+        rolls + collective-permutes at shard boundaries — the same
+        point-to-point pattern as the reference's Export-with-Add
+        halo traffic (reference src/HYMLS_Preconditioner.cpp:973-1052)
+        and as the gather-path halo V-cycle (parallel/halo_vcycle.py),
+        but compiled by XLA from ONE sharding constraint per level.
+
+        Roll-mode (Cartesian) levels only: a level's box grid is
+        sharded along its largest box axis when that axis has at least
+        one box per device; smaller/perm-mode levels stay replicated
+        (the coarse levels are tiny — matching the reference's
+        communicator restriction where trailing ranks idle)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = axis_name or mesh.axis_names[0]
+        ndev = mesh.size
+        specs = {}
+        for lev, L in enumerate(self.levels):
+            if L.mode == "perm":
+                continue
+            dims = [L.nK, L.nJ, L.nI]
+            ax = int(np.argmax(dims))
+            if dims[ax] >= ndev:
+                pspec = [None, None, None, None]
+                pspec[ax] = axis
+                specs[lev] = NamedSharding(mesh,
+                                           PartitionSpec(*pspec))
+
+        def constrain(lev, r):
+            s = specs.get(lev)
+            if s is None:
+                return r
+            return jax.lax.with_sharding_constraint(r, s)
+
+        def apply_fn(sfactors, b, consts=None):
+            self._constrain = constrain
+            try:
+                return self.apply(sfactors, b, consts)
+            finally:
+                self._constrain = None
+
+        return apply_fn
 
     def _exit_level(self, lev, out, c):
         L = self.levels[lev]

@@ -10,7 +10,8 @@ one JSON line per case to a history file keyed by the git revision,
 and prints a comparison against the previous recorded revision.
 
 Usage:
-    python tools/regression.py [--sizes 32,64,128] [--out bench_history.jsonl]
+    python tools/regression.py [--sizes 32,64,128]
+        [--out artifacts/regression_history.jsonl]
 """
 from __future__ import annotations
 
@@ -89,7 +90,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="32,64,128")
     ap.add_argument("--reynolds", default="0,100,1000")
-    ap.add_argument("--out", default="bench_history.jsonl")
+    ap.add_argument("--out",
+                    default="artifacts/regression_history.jsonl")
     args = ap.parse_args()
 
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],

@@ -103,7 +103,21 @@ def _batched_inv(A):
     batched triangular-inverse at ~16 MiB (observed: f32[1296,82,82]
     fails), so big batches run as lax.map over fixed-size chunks —
     sequential chunks, full MXU parallelism within each."""
+    # ACCURACY, not just speed, routes f32 inverses through GJ on TPU:
+    # XLA:TPU's LU + triangular-inverse lowering runs its internal
+    # matmuls at default (single-bf16-pass) precision, producing
+    # forward-inaccurate explicit inverses — measured on the stokes128
+    # L=2 coarse Schur matrix f32[435,435]: the jnp.linalg.inv result
+    # differs from the CPU LAPACK inverse by 76x relative and spreads
+    # the preconditioned spectrum until the f32 inner GMRES burns 558
+    # iterations (CPU: 150).  GJ with precision=HIGHEST picks is
+    # Gaussian-elimination-accurate.  Non-batched (2-D) f32 inverses —
+    # the coarse factor — therefore ALWAYS use GJ on accelerators.
     if A.ndim < 3:
+        gj_2d_max = int(os.environ.get("HYMLS_GJ_2D_MAX_N", "4096"))
+        if (on_accelerator() and A.dtype == jnp.float32
+                and 1 < A.shape[-1] <= gj_2d_max):
+            return gj_inverse(A[None])[0]
         return jnp.linalg.inv(A)
     n = A.shape[-1]
     batch = int(np.prod(A.shape[:-2]))
@@ -112,9 +126,12 @@ def _batched_inv(A):
     # f32[2112,17,17], 1.3x at f32[101,72,72]); its column-serial
     # fori_loop is latency-bound for large n or tiny batches, so gate on
     # both.  f32-only: the f64 callers refine an f32 seed anyway.
-    gj_max_n = int(os.environ.get("HYMLS_GJ_MAX_N", "96"))
+    # Above the speed knee the accuracy argument still applies, so the
+    # batched path also prefers GJ up to HYMLS_GJ_MAX_N (default raised
+    # 96 -> 256 after the coarse-inverse finding above).
+    gj_max_n = int(os.environ.get("HYMLS_GJ_MAX_N", "256"))
     if (on_accelerator() and A.dtype == jnp.float32
-            and 1 < n <= gj_max_n and batch >= 8):
+            and 1 < n <= gj_max_n and batch >= 2):
         return gj_inverse(A.reshape(batch, n, n)).reshape(A.shape)
     bytes_per = n * n * A.dtype.itemsize
     # TPU scoped vmem for the batched triangular-inverse custom call is

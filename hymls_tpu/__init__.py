@@ -38,8 +38,13 @@ _jax.config.update("jax_enable_x64", True)
 # triples on the MXU (~f32 accurate); f64/complex paths are emulated
 # and unaffected.  Hot sites additionally pin precision=HIGHEST
 # explicitly so they stay correct even if an embedding application
-# resets this global.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# resets this global (or sets HYMLS_DEFAULT_MATMUL_PRECISION, kept as
+# an A/B knob for perf triage).
+import os as _os
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("HYMLS_DEFAULT_MATMUL_PRECISION", "highest") or None)
 
 from .config import Params, load_xml  # noqa: E402
 from .solvers.solver import Solver  # noqa: E402

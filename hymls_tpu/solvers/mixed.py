@@ -45,14 +45,17 @@ class IterativeRefinementSolver:
         self.inner_tol = max(inner_tol, self.tol)
         self.max_passes = max_passes
         if inner_maxiter is None:
-            # multilevel systems need the longer restarted basis: the
-            # v5e sweep on stokes128 L=2 (tools/step_decompose.py)
-            # measured 768 inner iters / 0.154 s solve at m=48, 427 /
-            # 0.072 s at m=96, 441 / 0.109 s at m=192 (the masked
-            # static-shape orthogonalization pays O(m n) per iteration,
-            # so oversizing costs bandwidth) — m=96 is the knee.
-            # Single-reduction problems converge in a few dozen inner
-            # iterations and keep the cheaper 64-slot basis.
+            # The historical sensitivity to the basis size (768 inner
+            # iters at m=48 vs 427 at m=96 on stokes128 L=2) was the
+            # bf16-quality coarse inverse (see core/dense._batched_inv)
+            # stagnating the inner solves against their own restart;
+            # with precision-exact factors the v5e sweep measures
+            # m=48 and m=96 within noise (108 vs 107 inner iters,
+            # 0.084 s either way).  Keep 96 for multilevel (headroom
+            # for harder spectra; the masked orthogonalization pays
+            # O(m n) per iteration, so much larger wastes bandwidth)
+            # and the cheaper 64-slot basis for single-reduction
+            # problems that converge in a few dozen iterations.
             n_levels = params.sublist("Preconditioner").get(
                 "Number of Levels", 1)
             inner_maxiter = 96 if n_levels >= 2 else 64

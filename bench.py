@@ -140,8 +140,17 @@ def _splu_worker(K, b, reps, q):
     q.put((best, relres))
 
 
+# Tracked location: the serial-CPU SuperLU baseline for a given case
+# is a property of the (fixed) host class, not of one boot.  Caching
+# it in artifacts/ lets a cold machine skip the re-measurement, which
+# otherwise contends with the TPU-program compile for CPU time
+# (observed on a 1-vCPU host: the overlapped baseline thread starved
+# the compile past the case cap).  Delete the file to force a live
+# re-measurement; each artifact still records the seconds it used.
 _BASELINE_CACHE = os.environ.get(
-    "BENCH_BASELINE_CACHE", "/tmp/hymls_bench_baselines.json")
+    "BENCH_BASELINE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "artifacts", "bench_baselines.json"))
 
 
 def _cache_get(key):

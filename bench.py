@@ -151,24 +151,53 @@ _BASELINE_CACHE = os.environ.get(
     "BENCH_BASELINE_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  "artifacts", "bench_baselines.json"))
+# new measurements land in an UNTRACKED sibling overlay so a running
+# bench never dirties the tracked seed; reads merge seed <- overlay
+_BASELINE_LOCAL = _BASELINE_CACHE.replace(".json", ".local.json")
+
+
+def _host_id():
+    """Coarse host identity for baseline-cache validity: the serial
+    SuperLU seconds are a property of the CPU class, not the repo — a
+    clone on different hardware must re-measure, not reuse this
+    host's numbers (ADVICE r4)."""
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            model = next((l.split(":", 1)[1].strip() for l in f
+                          if l.startswith("model name")), "")
+    except OSError:
+        model = platform.processor()
+    return f"{model}/nproc={os.cpu_count()}"
 
 
 def _cache_get(key):
-    try:
-        with open(_BASELINE_CACHE) as f:
-            return json.load(f)[key]
-    except (OSError, KeyError, ValueError):
+    merged = {}
+    for path in (_BASELINE_CACHE, _BASELINE_LOCAL):
+        try:
+            with open(path) as f:
+                merged.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    hit = merged.get(key)
+    if hit is None:
         return None
+    # entries recorded before the host field existed, or on another
+    # host class, are not valid for this host
+    if hit.get("host") != _host_id():
+        return None
+    return hit
 
 
 def _cache_put(key, val):
+    val = dict(val, host=_host_id())
     try:
         cache = {}
-        if os.path.exists(_BASELINE_CACHE):
-            with open(_BASELINE_CACHE) as f:
+        if os.path.exists(_BASELINE_LOCAL):
+            with open(_BASELINE_LOCAL) as f:
                 cache = json.load(f)
         cache[key] = val
-        with open(_BASELINE_CACHE, "w") as f:
+        with open(_BASELINE_LOCAL, "w") as f:
             json.dump(cache, f)
     except (OSError, ValueError):
         pass
@@ -196,8 +225,11 @@ class _SpluHandle:
         else:
             secs, relres = self._q.get()
             timed_out = False
-        _cache_put(self._key, {"secs": secs, "relres": relres,
-                               "timed_out": timed_out})
+        if not timed_out:
+            # a timed-out lower bound must never be pinned as the
+            # baseline for future runs (ADVICE r4): re-measure next time
+            _cache_put(self._key, {"secs": secs, "relres": relres,
+                                   "timed_out": timed_out})
         self._done = (secs, relres, timed_out)
         return self._done
 
@@ -384,12 +416,21 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     Kp.data = Kp.data * final_scale
     relres = float(np.linalg.norm(Kp @ xh - b) / np.linalg.norm(b))
 
+    # parity has PRIORITY over the secondary timings (VERDICT r4 #1c):
+    # reserve its budget up front unless a cached count exists — the
+    # factor-only and warm timings are dropped first when tight
+    pkey = f"parity_n{K.shape[0]}_nnz{K.nnz}_t{target_iters}"
+    parity_reserve = 0.0 if _cache_get(pkey) is not None else 210.0
+    budget_left = float(os.environ.get("BENCH_CASE_BUDGET_S", "1e9"))
+
+    def _remaining():
+        return budget_left - (time.time() - _T0) - parity_reserve
+
     # factor-vs-solve decomposition (VERDICT r3 task 1: "decompose the
     # step"): delta-time the factor-only program when the case budget
     # allows the extra compile; solve_s = step - factor
     factor_s = None
-    budget_left = float(os.environ.get("BENCH_CASE_BUDGET_S", "1e9"))
-    if not big and budget_left - (time.time() - _T0) > 300:
+    if not big and _remaining() > 180:
         try:
             P = S.precond
             compute = P._compute_pure
@@ -424,9 +465,7 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     # reported SEPARATELY from the cold step; both are honest: cold =
     # first factorization, warm = every subsequent Newton step
     warm = {}
-    budget_left = float(os.environ.get("BENCH_CASE_BUDGET_S", "1e9"))
-    if measure_warm and not big and \
-            budget_left - (time.time() - _T0) > 240:
+    if measure_warm and not big and _remaining() > 150:
         try:
             wfn, wdpl, wex, wapl = S.newton_step_warm_fn()
             fac0 = S.precond.factors
@@ -549,7 +588,6 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
     # parity count cache: the f64 parity solve is deterministic for a
     # fixed matrix + config (Zero start) — a same-host rerun reuses the
     # count instead of re-burning its budget (210 s on the cavity case)
-    pkey = f"parity_n{K.shape[0]}_nnz{K.nnz}_t{target_iters}"
     hit = _cache_get(pkey)
     if hit is not None:
         _progress(f"  f64 parity cache hit: {hit['iters']} iters")
@@ -561,12 +599,11 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
             result["vs_baseline"] = 0.0
         return result
 
-    # the f64 parity solve is the most expensive and crash-prone step
-    # (full-f64 GMRES); skip it when the parent's remaining budget is
-    # too small to fit it — the partial line above already carries the
-    # timing result
-    budget_left = float(os.environ.get("BENCH_CASE_BUDGET_S", "1e9"))
-    if budget_left - (time.time() - _T0) < 240:
+    # attempt the parity solve whenever any budget remains: the
+    # partial (pre-parity) line is already printed, so a cap kill
+    # mid-parity costs nothing beyond the count itself (the secondary
+    # timings above were dropped first to protect this slot)
+    if budget_left - (time.time() - _T0) < 45:
         result["iters_f64"] = -1
         result["parity"] = "skipped (bench budget)"
         _progress("  budget low: skipping f64 parity solve")
@@ -826,7 +863,14 @@ def _write_artifact(cases, t_all, device, final):
     driver's 2000-char capture), the disk artifact cannot."""
     try:
         result = _assemble_result(cases, t_all, device)
-        result["extra"]["complete"] = final
+        # honest self-describing status (ADVICE r4): driver_finished
+        # means the case loop ran to its end, nothing more; the ok /
+        # error counts say how many cases actually produced numbers
+        result["extra"]["driver_finished"] = final
+        result["extra"]["cases_ok"] = sum(
+            1 for c in cases.values() if "error" not in c)
+        result["extra"]["cases_error"] = sum(
+            1 for c in cases.values() if "error" in c)
         with open(_ARTIFACT, "w") as f:
             json.dump(result, f, indent=1)
     except OSError:     # pragma: no cover - bench resilience

@@ -103,21 +103,34 @@ def _batched_inv(A):
     batched triangular-inverse at ~16 MiB (observed: f32[1296,82,82]
     fails), so big batches run as lax.map over fixed-size chunks —
     sequential chunks, full MXU parallelism within each."""
-    # ACCURACY, not just speed, routes f32 inverses through GJ on TPU:
+    # ACCURACY requires more than XLA's stock inverse on TPU:
     # XLA:TPU's LU + triangular-inverse lowering runs its internal
     # matmuls at default (single-bf16-pass) precision, producing
     # forward-inaccurate explicit inverses — measured on the stokes128
     # L=2 coarse Schur matrix f32[435,435]: the jnp.linalg.inv result
     # differs from the CPU LAPACK inverse by 76x relative and spreads
     # the preconditioned spectrum until the f32 inner GMRES burns 558
-    # iterations (CPU: 150).  GJ with precision=HIGHEST picks is
-    # Gaussian-elimination-accurate.  Non-batched (2-D) f32 inverses —
-    # the coarse factor — therefore ALWAYS use GJ on accelerators.
+    # iterations (CPU: 150).  For the non-batched (2-D) case — the
+    # coarse factor, the largest single dense op in the factor chain —
+    # the fix is the XLA inverse as a SEED plus residual-adaptive
+    # Newton-Schulz polish with precision=HIGHEST products: the polish
+    # contracts quadratically, scrubbing the bf16 taint in <=3 steps of
+    # two MXU matmuls each.  Measured on the cavity64 coarse system
+    # f32[1891,1891] (v5e): GJ 93.6 ms / relerr 1.3e-3 vs seed+NS3
+    # 10.9 ms / relerr 1.0e-6 — 8.6x faster AND ~1000x more accurate
+    # (GJ's one-hot rank-1 fori_loop is n sequential full-matrix
+    # sweeps: pure HBM latency).  HYMLS_COARSE_INV_2D=gj restores the
+    # old path for A/B.
     if A.ndim < 3:
-        gj_2d_max = int(os.environ.get("HYMLS_GJ_2D_MAX_N", "4096"))
         if (on_accelerator() and A.dtype == jnp.float32
-                and 1 < A.shape[-1] <= gj_2d_max):
-            return gj_inverse(A[None])[0]
+                and A.shape[-1] > 1):
+            if os.environ.get("HYMLS_COARSE_INV_2D", "ns") == "gj":
+                gj_2d_max = int(os.environ.get("HYMLS_GJ_2D_MAX_N",
+                                               "4096"))
+                if A.shape[-1] <= gj_2d_max:
+                    return gj_inverse(A[None])[0]
+            X = jnp.linalg.inv(A)
+            return _newton_refine(A, X, max_steps=3)
         return jnp.linalg.inv(A)
     n = A.shape[-1]
     batch = int(np.prod(A.shape[:-2]))

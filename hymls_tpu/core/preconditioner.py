@@ -1714,6 +1714,51 @@ class Preconditioner:
         return self._sapply_pure if self._structured_active \
             else self._apply_pure_gen
 
+    def sharded_sapply_fn(self, mesh):
+        """Pure GSPMD-distributed structured apply with the same
+        (factors, consts, b) signature as `_sapply_pure`: the box-grid
+        axis of each roll-mode level is sharded over `mesh` and the
+        roll neighbor exchange partitions into collective-permutes
+        (StructuredProgram.sharded_apply_fn).  This is how the
+        production fast path runs multichip — the reference's one
+        apply path is distributed unconditionally
+        (src/HYMLS_Preconditioner.cpp:973-1052); here the same
+        structured program is partitioned by XLA instead of switching
+        to the generic gather V-cycle.  Returns None when no
+        structured program exists."""
+        if self._structured is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+        prog = self._structured
+        apply_sh = prog.sharded_apply_fn(mesh)
+        # the OUTPUT is pinned replicated: the level bodies (all the
+        # V-cycle flops + the roll collective-permutes) shard over the
+        # mesh, while the surrounding Krylov iteration — dots, axpys,
+        # the DIA matvec — keeps the exact replicated reduction order,
+        # so iteration counts are bitwise identical to the single-chip
+        # solve (the reference's 1..8-rank identical-convergence gate).
+        # The exit gather is one small vector per apply, the same
+        # volume as the reference's Export at the end of ApplyInverse
+        # (src/HYMLS_Preconditioner.cpp:1050-1052).
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def _rep(x):
+            return jax.lax.with_sharding_constraint(x, rep)
+
+        if self._bgrid_T is not None:
+            from ..ops.spmv import DiaOperator
+            Top = DiaOperator(self._bgrid_T, dtype=self.dtype)
+            TopT = DiaOperator(self._bgrid_T.T.tocsr(), dtype=self.dtype)
+
+            def sapply(factors, consts, b):
+                return _rep(Top(apply_sh(factors, _rep(TopT(_rep(b))),
+                                         consts)))
+            return sapply
+
+        def sapply(factors, consts, b):
+            return _rep(apply_sh(factors, _rep(b), consts))
+        return sapply
+
     def dump_levels(self, prefix: str = "level") -> list:
         """Dump every level's operator to MatrixMarket files (the
         reference's HYMLS_STORE_MATRICES debug mode, which writes each

@@ -1141,8 +1141,16 @@ class StructuredProgram:
 
         axis = axis_name or mesh.axis_names[0]
         ndev = mesh.size
+        # every level gets an EXPLICIT constraint: big roll-mode levels
+        # shard their largest box axis; small/perm levels are pinned
+        # fully replicated.  Leaving small levels unconstrained lets
+        # GSPMD propagation partition their einsum contraction dims,
+        # which reassociates the reductions and breaks bitwise
+        # iteration identity with the single-chip solve.
+        replicated = NamedSharding(mesh, PartitionSpec())
         specs = {}
         for lev, L in enumerate(self.levels):
+            specs[lev] = replicated
             if L.mode == "perm":
                 continue
             dims = [L.nK, L.nJ, L.nI]
@@ -1154,10 +1162,7 @@ class StructuredProgram:
                                            PartitionSpec(*pspec))
 
         def constrain(lev, r):
-            s = specs.get(lev)
-            if s is None:
-                return r
-            return jax.lax.with_sharding_constraint(r, s)
+            return jax.lax.with_sharding_constraint(r, specs[lev])
 
         def apply_fn(sfactors, b, consts=None):
             self._constrain = constrain

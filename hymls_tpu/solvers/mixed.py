@@ -130,13 +130,29 @@ class IterativeRefinementSolver:
 
         if self.precond._factors is None:
             self.precond.compute()
-        if self.solver.distributed:
+        # production fast path, multichip: GSPMD-shard the structured
+        # apply inside the SAME fused program (global vectors, rolls ->
+        # collective-permutes) instead of switching to the generic
+        # owner-layout halo V-cycle — the reference's one apply path is
+        # distributed unconditionally
+        # (src/HYMLS_Preconditioner.cpp:973-1052)
+        sh_mesh = None
+        if self.solver.distributed and self.precond._structured_active:
+            from ..parallel.mesh import get_mesh
+            sh_mesh = get_mesh()
+            if sh_mesh is not None and sh_mesh.size < 2:
+                sh_mesh = None
+        if sh_mesh is None and self.solver.distributed:
             dist = self.solver._make_dist()
             if dist is not None:
                 self._build_fused_dist(dist)
                 return
         self._dist = None
-        apply_fn, _, _ = self.precond.apply_inverse_fn()
+        self._dist_structured = sh_mesh
+        if sh_mesh is not None:
+            apply_fn = self.precond.sharded_sapply_fn(sh_mesh)
+        else:
+            apply_fn, _, _ = self.precond.apply_inverse_fn()
         slist = self.params.sublist("Solver")
         method = slist.get("Krylov Method", "GMRES")
         it = slist.sublist("Iterative Solver")

@@ -155,6 +155,45 @@ class Solver:
             self._solve_jit = jax.jit(solve)
             return
 
+        if self.distributed and self.precond._structured_active:
+            # production fast path, multichip: the SAME structured
+            # gather-free V-cycle the single-chip solve runs, GSPMD-
+            # sharded over the mesh (box-grid axis -> shards, rolls ->
+            # collective-permutes).  The Krylov state stays a global
+            # vector; XLA propagates the level shardings outward into
+            # the DIA matvec and the orthogonalization.  Falls through
+            # to the generic owner-sharded halo V-cycle below when no
+            # structured program exists (reference: the one apply path
+            # is distributed unconditionally,
+            # src/HYMLS_Preconditioner.cpp:973-1052).
+            from ..parallel.mesh import get_mesh
+            mesh = get_mesh()
+            if mesh is not None and mesh.size >= 2:
+                if self.precond._factors is None:
+                    self.precond.compute()
+                sapply = self.precond.sharded_sapply_fn(mesh)
+                self._dist_structured = mesh
+                prepare = self.op.prepare
+
+                def solve(vals, factors, dplans, b, x0):
+                    pvals = prepare(vals)
+
+                    def op(x):
+                        return self.op.matvec_prepared(pvals, x)
+
+                    def prec(x):
+                        return sapply(factors, dplans, x)
+
+                    if method == "CG":
+                        return krylov.cg(op, b, x0, prec, tol=tol,
+                                         maxiter=maxiter)
+                    return krylov.gmres(op, b, x0, prec, tol=tol,
+                                        maxiter=maxiter, left=left,
+                                        restart=restart)
+
+                self._solve_jit = jax.jit(solve)
+                return
+
         if self.distributed:
             dist = self._make_dist()
             if dist is not None:

@@ -15,6 +15,8 @@ from hymls_tpu.config import Params
 from hymls_tpu.stencils import create_matrix, create_testvector
 from hymls_tpu import Preconditioner
 from hymls_tpu.parallel.mesh import make_mesh
+
+from _mesh import NDEV_SWEEP
 from hymls_tpu.parallel.halo_vcycle import make_halo_apply
 from hymls_tpu.parallel.dist_compute import DistributedCompute
 
@@ -44,12 +46,14 @@ def _build(eq, nx, levels, part="Cartesian", dim=2):
     ("Stokes-C", 32, 2, "Cartesian"),
     ("Stokes-C", 32, 2, "Skew Cartesian"),
 ])
-def test_dist_compute_matches_serial(eq, nx, levels, part):
+@pytest.mark.parametrize("ndev", NDEV_SWEEP)
+def test_dist_compute_matches_serial(eq, nx, levels, part, ndev):
     """Distributed factors == serially-computed factors stacked into
     the halo layout (assembly order is preserved, so agreement is to
-    batched-kernel round-off)."""
+    batched-kernel round-off).  Swept over mesh sizes incl.
+    non-divisible ownership (reference 1..8-rank matrix)."""
     K, P = _build(eq, nx, levels, part)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ndev)
     app = make_halo_apply(P, mesh)
     ref = app.stack_factors(P._prune_factors(P.factors))
 
@@ -78,10 +82,11 @@ def test_dist_compute_matches_serial(eq, nx, levels, part):
         assert np.abs(a - b).max() / scale < 1e-11
 
 
-def test_dist_compute_apply_composes():
+@pytest.mark.parametrize("ndev", NDEV_SWEEP)
+def test_dist_compute_apply_composes(ndev):
     """Halo apply with distributed factors == serial apply_inverse."""
     K, P = _build("Stokes-C", 32, 2, "Skew Cartesian")
-    mesh = make_mesh(8)
+    mesh = make_mesh(ndev)
     app = make_halo_apply(P, mesh)
     dc = DistributedCompute(P, mesh)
     app.factors = dc.compute(jnp.asarray(K.data, P.dtype))

@@ -18,6 +18,8 @@ from hymls_tpu.stencils import create_matrix, create_testvector
 from hymls_tpu import Preconditioner, Solver
 from hymls_tpu.parallel.mesh import make_mesh, set_mesh
 
+from _mesh import NDEV_SWEEP
+
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 devices")
 
@@ -258,7 +260,8 @@ def test_dist_mixed_newton_step_f64_factors():
     assert int(r.iters) == int(r0.iters)
 
 
-def test_dist_bordered_solve():
+@pytest.mark.parametrize("ndev", NDEV_SWEEP)
+def test_dist_bordered_solve(ndev):
     """Distributed bordered GMRES: the augmented system [K V; W' C]
     iterates in the flat (ndev*(L+m),) owner layout with the m-tail
     replicated per shard (scaled 1/sqrt(ndev) so norms are exact) —
@@ -279,7 +282,7 @@ def test_dist_bordered_solve():
     x_ref, res_ref = S0.apply_inverse(b)
     s_ref = S0._border_coeffs
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(ndev)
     set_mesh(mesh)
     try:
         K2, P2, S = _build(32, 2, "Stokes-C", dist=True, maxiter=200)
@@ -297,7 +300,8 @@ def test_dist_bordered_solve():
     assert np.abs(np.asarray(s) - np.asarray(s_ref)).max() < 1e-6 * scale
 
 
-def test_dist_deflated_solve():
+@pytest.mark.parametrize("ndev", NDEV_SWEEP)
+def test_dist_deflated_solve(ndev):
     """Distributed deflated solve: the deflation projectors run as
     sharded dots (GSPMD psum) around the halo operator/V-cycle —
     same converged solution as the replicated deflated solve
@@ -334,7 +338,7 @@ def test_dist_deflated_solve():
     S0 = build(False)
     x_ref, _ = S0.apply_inverse(b)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(ndev)
     set_mesh(mesh)
     try:
         S = build(True)
@@ -348,7 +352,8 @@ def test_dist_deflated_solve():
         np.abs(np.asarray(x_ref)).max() < 1e-6
 
 
-def test_dist_complex_solve():
+@pytest.mark.parametrize("ndev", NDEV_SWEEP)
+def test_dist_complex_solve(ndev):
     """Distributed complex solve: complex128 GMRES in the flat owner
     layout, A and B on independent ppermute ELL plans, the real
     V-cycle applied to Re/Im — iteration identity + solution parity
@@ -382,7 +387,7 @@ def test_dist_complex_solve():
 
     params2 = params.copy()
     params2.sublist("Solver")["Distributed Apply"] = True
-    mesh = make_mesh(8)
+    mesh = make_mesh(ndev)
     set_mesh(mesh)
     try:
         P2 = Preconditioner(A, params2, testvector=tv).compute()
@@ -398,7 +403,8 @@ def test_dist_complex_solve():
     assert np.abs(zn - zr).max() / np.abs(zr).max() < 1e-8
 
 
-def test_dist_complex_bordered_solve():
+@pytest.mark.parametrize("ndev", NDEV_SWEEP)
+def test_dist_complex_bordered_solve(ndev):
     """Distributed complex BORDERED solve (the ComplexBorderedSolver
     combination): augmented complex vectors in the owner layout, the
     m-tail replicated/psum'd — parity vs the replicated bordered
@@ -433,7 +439,7 @@ def test_dist_complex_bordered_solve():
 
     params2 = params.copy()
     params2.sublist("Solver")["Distributed Apply"] = True
-    mesh = make_mesh(8)
+    mesh = make_mesh(ndev)
     set_mesh(mesh)
     try:
         P2 = Preconditioner(A, params2, testvector=tv).compute()
@@ -455,3 +461,134 @@ def test_dist_fallback_unshardable():
         x, res = S.apply_inverse(b)
     assert S._dist is None and not S.distributed
     assert float(res.relres) < 1e-8
+
+
+def _build_structured(dist, levels=2):
+    """Stokes-C 32^2 with the structured gather-free apply ACTIVE —
+    the benchmarked production configuration (BENCH path)."""
+    params = Params({
+        "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                    "nx": 32, "ny": 32},
+        "Solver": {"Krylov Method": "GMRES",
+                   "Left or Right Preconditioning": "Right",
+                   "Distributed Apply": dist,
+                   "Iterative Solver": {"Maximum Iterations": 200,
+                                        "Convergence Tolerance": 1e-10}},
+        "Preconditioner": {"Separator Length": 4,
+                           "Number of Levels": levels,
+                           "Structured Apply": True},
+    })
+    K = create_matrix(params)
+    tv = create_testvector(params, K)
+    P = Preconditioner(K, params, testvector=tv)
+    S = Solver(K, P, params)
+    return K, P, S
+
+
+def test_dist_structured_solve():
+    """The structured (gather-free) production apply runs DISTRIBUTED
+    through the plain Solver: GSPMD-sharded V-cycle inside the global
+    GMRES — same iterations and solution as the replicated structured
+    solve, with collective-permute traffic in the compiled program
+    (reference: the one apply path is distributed unconditionally,
+    src/HYMLS_Preconditioner.cpp:973-1052)."""
+    K, P0, S0 = _build_structured(False)
+    assert P0._structured is not None, "structured program must build"
+    rng = np.random.default_rng(5)
+    # consistent rhs: K has a constant-pressure null space, so a raw
+    # random b leaves a large stagnating true residual that makes the
+    # cross-path comparison meaningless
+    b = K @ rng.standard_normal(K.shape[0])
+    x_ref, res_ref = S0.apply_inverse(b)
+
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        K2, P2, S = _build_structured(True)
+        x, res = S.apply_inverse(b)
+        assert getattr(S, "_dist_structured", None) is not None, \
+            "structured GSPMD path did not activate"
+        assert S._dist is None, \
+            "structured path must not fall back to the halo V-cycle"
+        factors = P2.apply_factors
+        txt = S._solve_jit.lower(
+            S.op.vals, factors, P2._aplans,
+            jnp.asarray(b, S.dtype), jnp.zeros_like(
+                jnp.asarray(b, S.dtype))).compile().as_text()
+    finally:
+        set_mesh(None)
+    # the sharded apply matches the replicated one to ~1 ULP (f64
+    # relative ~1e-15: XLA partitions the level einsums and pads/folds
+    # in a different association); over 100+ GMRES iterations that
+    # drifts the count by at most a couple — the same slack the
+    # reference has across MPI rank counts, where SumAll reassociates
+    # and the targets are upper bounds
+    assert abs(int(res.iters) - int(res_ref.iters)) <= \
+        max(2, int(res_ref.iters) * 0.03)
+    xn, xr = np.asarray(x), np.asarray(x_ref)
+    relres = np.linalg.norm(K @ xn - b) / np.linalg.norm(b)
+    relres_ref = np.linalg.norm(K @ xr - b) / np.linalg.norm(b)
+    assert relres <= relres_ref * (1 + 1e-6) + 1e-12
+    assert re.search(r"collective-permute", txt), \
+        "expected collective-permute traffic in the sharded solve"
+
+
+def test_dist_structured_mixed_newton_step():
+    """The fused mixed-precision Newton step with the STRUCTURED apply
+    distributed (factor + repack + GSPMD-sharded V-cycle + IR loop in
+    one program) — inner-iteration identity vs the replicated fused
+    step."""
+    from hymls_tpu.solvers.mixed import IterativeRefinementSolver
+
+    def build(dist):
+        params = Params({
+            "Problem": {"Equations": "Stokes-C", "Dimension": 2,
+                        "nx": 32, "ny": 32},
+            "Solver": {"Krylov Method": "GMRES",
+                       "Left or Right Preconditioning": "Right",
+                       "Distributed Apply": dist,
+                       "Iterative Solver": {"Maximum Iterations": 200,
+                                            "Convergence Tolerance":
+                                                1e-10}},
+            "Preconditioner": {"Separator Length": 4,
+                               "Number of Levels": 1,
+                               "Structured Apply": True},
+        })
+        K = create_matrix(params)
+        tv = create_testvector(params, K)
+        S = IterativeRefinementSolver(K, params, testvector=tv)
+        S.compute()
+        assert S.precond._structured is not None
+        return K, S
+
+    K, S0 = build(False)
+    rng = np.random.default_rng(0)
+    b = K @ rng.standard_normal(K.shape[0])
+    bj = jnp.asarray(b, jnp.float64)
+    n0, dpl0, ex0, apl0 = S0.newton_step_fn()
+    r0 = jax.device_get(n0(S0.op64.vals, S0.solver.op.vals, dpl0, ex0,
+                           apl0, bj))
+
+    mesh = make_mesh(8)
+    set_mesh(mesh)
+    try:
+        K2, S = build(True)
+        nfn, dpl, ex, apl = S.newton_step_fn()
+        assert getattr(S, "_dist_structured", None) is not None, \
+            "structured GSPMD path did not activate"
+        r = jax.device_get(nfn(S.op64.vals, S.solver.op.vals, dpl, ex,
+                               apl, bj))
+        txt = nfn.lower(S.op64.vals, S.solver.op.vals, dpl, ex, apl,
+                        bj).compile().as_text()
+    finally:
+        set_mesh(None)
+    assert bool(r.converged)
+    x = np.asarray(r.x)
+    relres = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert relres <= 1e-10
+    # ULP-level reassociation slack, see test_dist_structured_solve
+    assert abs(int(r.iters) - int(r0.iters)) <= \
+        max(2, int(r0.iters) * 0.03), \
+        f"inner iters {int(r.iters)} vs replicated {int(r0.iters)}"
+    assert re.search(r"collective-permute", txt), \
+        "expected collective-permute traffic in the sharded Newton step"

@@ -225,11 +225,13 @@ class _SpluHandle:
         else:
             secs, relres = self._q.get()
             timed_out = False
-        if not timed_out:
-            # a timed-out lower bound must never be pinned as the
-            # baseline for future runs (ADVICE r4): re-measure next time
-            _cache_put(self._key, {"secs": secs, "relres": relres,
-                                   "timed_out": timed_out})
+        # timed-out lower bounds are cached WITH their timebox: a rerun
+        # with the same (or smaller) box would only reproduce the same
+        # lower bound, so reuse it; a larger box re-measures (ADVICE r4:
+        # never silently pin a lower bound a bigger budget could beat)
+        _cache_put(self._key, {"secs": secs, "relres": relres,
+                               "timed_out": timed_out,
+                               "timebox": self._box})
         self._done = (secs, relres, timed_out)
         return self._done
 
@@ -260,14 +262,15 @@ def _splu_baseline_start(K, b, reps=3, timebox=300.0):
     rerun (e.g. after warming the TPU compile cache) reuses them
     instead of burning the case budget re-factoring."""
     key = f"splu_n{K.shape[0]}_nnz{K.nnz}"
+    if K.shape[0] > 100_000:
+        reps = 1
     hit = _cache_get(key)
-    if hit is not None:
+    if hit is not None and not (hit["timed_out"] and
+                                timebox * reps > hit.get("timebox", 0)):
         _progress(f"  splu baseline cache hit: {hit['secs']:.4f}s"
                   f"{' (lower bound)' if hit['timed_out'] else ''}")
         return _SpluHit(hit)
     import multiprocessing as mp
-    if K.shape[0] > 100_000:
-        reps = 1
     # spawn, not fork: forking the multithreaded JAX process can
     # deadlock; the worker only needs scipy + the pickled matrix
     ctx = mp.get_context("spawn")
@@ -768,8 +771,27 @@ def _run_case(name):
         if not PallasDiaMatvec.fits(op.offsets, op.n):
             return {"error": "pallas kernel does not fit vmem",
                     "xla_us": round(t_xla * 1e6, 2)}
-        pk = PallasDiaMatvec(op.offsets, op.n)
-        t_pal = time_loop(lambda x: pk(bands, x))
+        try:
+            pk = PallasDiaMatvec(op.offsets, op.n)
+            t_pal = time_loop(lambda x: pk(bands, x))
+        except Exception as e:
+            # the decision still gets RECORDED when the kernel cannot
+            # compile on this runtime (r05: the remote AOT helper fails
+            # to legalize Mosaic output — libtpu version skew; the
+            # kernel passes interpret-mode parity tests)
+            return {"value": round(t_xla * 1e6, 2), "unit": "us/spmv",
+                    "vs_baseline": 1.0,
+                    "baseline": {"method": "XLA shifted-slice DIA SpMV "
+                                           "(same device)",
+                                 "us": round(t_xla * 1e6, 2)},
+                    "n": op.n, "bands": len(op.offsets),
+                    "pallas_error": f"{type(e).__name__}: {e}"[:300],
+                    "decision": "keep opt-in, default OFF: kernel does "
+                                "not compile on this runtime (Mosaic/"
+                                "libtpu skew in the remote AOT helper); "
+                                "production path has a compiled-parity "
+                                "self-check + loud fallback either way "
+                                "(ops/spmv.py:_pick_pallas)"}
         y0 = np.asarray(op.matvec_prepared(bands, x0))
         y1 = np.asarray(pk(bands, x0))
         err = float(np.abs(y1 - y0).max() / max(np.abs(y0).max(), 1e-30))

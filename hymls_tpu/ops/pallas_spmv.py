@@ -39,6 +39,14 @@ except Exception:  # pragma: no cover - environment without pallas
 _VMEM_X_BYTES = 6 * 1024 * 1024
 
 
+def _imap(t):
+    # block index map: must stage as i32 — under jax_enable_x64 a bare
+    # (0, t) returns i64 and Mosaic fails legalizing the i64
+    # func.return on the current libtpu
+    import jax.lax as lax
+    return (np.int32(0), lax.convert_element_type(t, np.int32))
+
+
 def _kernel(x_ref, bands_ref, y_ref, *, offsets, block, pad_al):
     # Mosaic requires lane-dimension slice starts to be provable
     # 128-multiples: split each offset into an aligned window load
@@ -51,8 +59,10 @@ def _kernel(x_ref, bands_ref, y_ref, *, offsets, block, pad_al):
         w = x_ref[0:1, pl.ds(start, block + 128)]
         if r:
             # want out[i] = w[i + r]; pltpu.roll requires shift >= 0,
-            # so roll by width - r (cyclic equivalence)
-            w = pltpu.roll(w, shift=block + 128 - r, axis=1)
+            # so roll by width - r (cyclic equivalence).  The shift
+            # must stage as i32: under jax_enable_x64 a bare Python int
+            # becomes i64 and Mosaic's tpu.dynamic_rotate rejects it
+            w = pltpu.roll(w, shift=np.int32(block + 128 - r), axis=1)
         term = bands_ref[j:j + 1, :] * w[:, :block]
         acc = term if acc is None else acc + term
     y_ref[...] = acc
@@ -98,10 +108,10 @@ class PallasDiaMatvec:
             grid=(self.grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # full x_pad
-                pl.BlockSpec((len(offsets), block), lambda t: (0, t),
+                pl.BlockSpec((len(offsets), block), _imap,
                              memory_space=pltpu.VMEM),      # band tile
             ],
-            out_specs=pl.BlockSpec((1, block), lambda t: (0, t),
+            out_specs=pl.BlockSpec((1, block), _imap,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )

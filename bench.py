@@ -395,13 +395,19 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         sync(fjit(1, one))                            # the ONE compile
         baseline = baseline_h.result()  # join BEFORE timing: 1-core host
         _progress(f"  compiled; timing {reps} fused reps ...")
+        # measure each endpoint TWICE and keep the per-key MIN: the
+        # remote tunnel's per-launch latency swings by hundreds of ms,
+        # and an inflated t[1] biases the delta LOW (observed: a
+        # one-shot delta reported 0.0098 s/step for a program three
+        # prior runs measured at 0.039)
         t = {}
         out = {}
-        for nit in (1, reps + 1):
+        for nit in (1, reps + 1, 1, reps + 1):
             t0 = time.perf_counter()
             res = fjit(nit, one)
             sync(res)
-            t[nit] = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            t[nit] = min(t.get(nit, float("inf")), dt)
             out[nit] = res
         elapsed = max((t[reps + 1] - t[1]) / reps, 1e-9)
         _progress(f"  fused: {elapsed:.4f} s/step; dispatch timing ...")
@@ -428,88 +434,6 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
 
     def _remaining():
         return budget_left - (time.time() - _T0) - parity_reserve
-
-    # factor-vs-solve decomposition (VERDICT r3 task 1: "decompose the
-    # step"): delta-time the factor-only program when the case budget
-    # allows the extra compile; solve_s = step - factor
-    factor_s = None
-    if not big and _remaining() > 180:
-        try:
-            P = S.precond
-            compute = P._compute_pure
-            dpl, ext, apl = P._dplans, P._extra_plan, P._aplans
-            afac0 = P.apply_factors_from_pure(
-                compute(vals64, dpl, ext), apl)
-
-            def factor_steps(niter, s0, afac):
-                def fbody(i, carry):
-                    s64 = s0 + 1e-6 * i.astype(jnp.float64)
-                    fac = compute(vals64 * s64, dpl, ext)
-                    return P.apply_factors_from_pure(fac, apl)
-                return lax.fori_loop(0, niter, fbody, afac)
-
-            ffjit = jax.jit(factor_steps)
-            sync(ffjit(1, one, afac0))
-            tf = {}
-            for nit in (1, reps + 1):
-                t0 = time.perf_counter()
-                sync(ffjit(nit, one, afac0))
-                tf[nit] = time.perf_counter() - t0
-            factor_s = max((tf[reps + 1] - tf[1]) / reps, 1e-9)
-            _progress(f"  factor-only: {factor_s:.4f} s/step")
-        except Exception as e:   # pragma: no cover - bench resilience
-            _progress(f"  factor-only timing failed: {e!r}")
-
-    # warm-recompute Newton step (the production continuation path:
-    # the reference reuses its analysis via SetMatrix-then-Compute,
-    # src/HYMLS_Preconditioner.hpp:246-254; here the dense inverses are
-    # Newton-Schulz-polished from the previous step's factors, with a
-    # residual-gated cold fallback compiled into the same program) —
-    # reported SEPARATELY from the cold step; both are honest: cold =
-    # first factorization, warm = every subsequent Newton step
-    warm = {}
-    if measure_warm and not big and _remaining() > 150:
-        try:
-            wfn, wdpl, wex, wapl = S.newton_step_warm_fn()
-            fac0 = S.precond.factors
-
-            def warm_steps(niter, s0, fac0):
-                def wbody(i, carry):
-                    _x, _it, fac = carry
-                    s64 = s0 + 1e-6 * (i + 1).astype(jnp.float64)
-                    rr, fac = wfn(vals64 * s64,
-                                  vals32 * s64.astype(jnp.float32),
-                                  wdpl, wex, wapl, bj, fac)
-                    return rr.x, jnp.asarray(rr.iters, jnp.int64), fac
-                return lax.fori_loop(
-                    0, niter, wbody,
-                    (jnp.zeros_like(bj), jnp.zeros((), jnp.int64), fac0))
-
-            wjit = jax.jit(warm_steps)
-            sync(wjit(1, one, fac0))
-            tw = {}
-            outw = {}
-            for nit in (1, reps + 1):
-                t0 = time.perf_counter()
-                res = wjit(nit, one, fac0)
-                sync(res)
-                tw[nit] = time.perf_counter() - t0
-                outw[nit] = res
-            warm_s = max((tw[reps + 1] - tw[1]) / reps, 1e-9)
-            xw, itw, _ = outw[reps + 1]
-            xw = np.asarray(jax.device_get(xw))
-            Kw = K.copy()
-            Kw.data = Kw.data * (1.0 + 1e-6 * (reps + 1))
-            wrel = float(np.linalg.norm(Kw @ xw - b) /
-                         np.linalg.norm(b))
-            warm = {"warm_step_s": round(warm_s, 5),
-                    "warm_inner_iters": int(jax.device_get(itw)),
-                    "warm_relres": wrel,
-                    "warm_ok": wrel <= relres_ok}
-            _progress(f"  warm-recompute step: {warm_s:.4f} s/step "
-                      f"(relres {wrel:.2e})")
-        except Exception as e:   # pragma: no cover - bench resilience
-            _progress(f"  warm timing failed: {e!r}")
 
     base_secs, base_relres, base_timed_out = baseline
     baseline = {"method": "scipy SuperLU factor+solve (serial CPU)",
@@ -538,22 +462,6 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "peak_assumption": "v5e: 49.2 f32 TFLOP/s (bf16 197/4), "
                            "819 GB/s HBM",
     }
-    if factor_s is not None:
-        solve_s = max(elapsed - factor_s, 1e-9)
-        # solve-phase HBM traffic model: per inner iteration one f32
-        # V-cycle apply (apply_bytes/2) + one f32 SpMV (vals+idx+vec)
-        spmv_bytes = 8.0 * K.nnz + 8.0 * K.shape[0]
-        solve_gb = max(inner_iters, 1) * (fm["apply_bytes"] / 2 +
-                                          spmv_bytes) / 1e9
-        gbps = solve_gb / solve_s
-        cost_model.update({
-            "factor_s": round(factor_s, 5),
-            "solve_s": round(solve_s, 5),
-            "solve_est_gbps": round(gbps, 1),
-            "solve_pct_hbm_roofline": round(100 * gbps / PEAK_HBM_GBPS,
-                                            1),
-        })
-
     result = {
         "value": round(elapsed, 5),
         "unit": "seconds/factor+solve",
@@ -573,20 +481,133 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         "relres": relres,
         "cost_model": cost_model,
     }
+    if extra_fields:
+        result.update(extra_fields)
+
+    def _emit_partial():
+        # partial result (everything measured so far, no parity): the
+        # line the parent falls back to if a later phase crashes the
+        # TPU worker OR the per-case cap kills the child.  Emitted
+        # IMMEDIATELY after the primary timing — before the optional
+        # factor-only/warm timings — so a cap kill during those can
+        # never lose the case (r05: cavity128's secondary compiles
+        # overran a 240 s cap; the old ordering would have dropped the
+        # whole case)
+        partial = dict(result)
+        partial["parity"] = ("unavailable (killed/crashed before the "
+                             "f64 parity solve)")
+        if not partial["ok"]:
+            partial["vs_baseline"] = 0.0
+        print(json.dumps(partial), flush=True)
+
+    _emit_partial()
+
+    # factor-vs-solve decomposition (VERDICT r3 task 1: "decompose the
+    # step"): delta-time the factor-only program when the case budget
+    # allows the extra compile; solve_s = step - factor
+    factor_s = None
+    if not big and _remaining() > 260:
+        try:
+            P = S.precond
+            compute = P._compute_pure
+            dpl, ext, apl = P._dplans, P._extra_plan, P._aplans
+            afac0 = P.apply_factors_from_pure(
+                compute(vals64, dpl, ext), apl)
+
+            def factor_steps(niter, s0, afac):
+                def fbody(i, carry):
+                    s64 = s0 + 1e-6 * i.astype(jnp.float64)
+                    fac = compute(vals64 * s64, dpl, ext)
+                    return P.apply_factors_from_pure(fac, apl)
+                return lax.fori_loop(0, niter, fbody, afac)
+
+            ffjit = jax.jit(factor_steps)
+            sync(ffjit(1, one, afac0))
+            tf = {}
+            for nit in (1, reps + 1, 1, reps + 1):   # min-of-2: tunnel noise
+                t0 = time.perf_counter()
+                sync(ffjit(nit, one, afac0))
+                tf[nit] = min(tf.get(nit, float("inf")),
+                              time.perf_counter() - t0)
+            factor_s = max((tf[reps + 1] - tf[1]) / reps, 1e-9)
+            _progress(f"  factor-only: {factor_s:.4f} s/step")
+        except Exception as e:   # pragma: no cover - bench resilience
+            _progress(f"  factor-only timing failed: {e!r}")
+
+    # warm-recompute Newton step (the production continuation path:
+    # the reference reuses its analysis via SetMatrix-then-Compute,
+    # src/HYMLS_Preconditioner.hpp:246-254; here the dense inverses are
+    # Newton-Schulz-polished from the previous step's factors, with a
+    # residual-gated cold fallback compiled into the same program) —
+    # reported SEPARATELY from the cold step; both are honest: cold =
+    # first factorization, warm = every subsequent Newton step
+    warm = {}
+    if measure_warm and not big and _remaining() > 220:
+        try:
+            wfn, wdpl, wex, wapl = S.newton_step_warm_fn()
+            fac0 = S.precond.factors
+
+            def warm_steps(niter, s0, fac0):
+                def wbody(i, carry):
+                    _x, _it, fac = carry
+                    s64 = s0 + 1e-6 * (i + 1).astype(jnp.float64)
+                    rr, fac = wfn(vals64 * s64,
+                                  vals32 * s64.astype(jnp.float32),
+                                  wdpl, wex, wapl, bj, fac)
+                    return rr.x, jnp.asarray(rr.iters, jnp.int64), fac
+                return lax.fori_loop(
+                    0, niter, wbody,
+                    (jnp.zeros_like(bj), jnp.zeros((), jnp.int64), fac0))
+
+            wjit = jax.jit(warm_steps)
+            sync(wjit(1, one, fac0))
+            tw = {}
+            outw = {}
+            for nit in (1, reps + 1, 1, reps + 1):   # min-of-2: tunnel noise
+                t0 = time.perf_counter()
+                res = wjit(nit, one, fac0)
+                sync(res)
+                tw[nit] = min(tw.get(nit, float("inf")),
+                              time.perf_counter() - t0)
+                outw[nit] = res
+            warm_s = max((tw[reps + 1] - tw[1]) / reps, 1e-9)
+            xw, itw, _ = outw[reps + 1]
+            xw = np.asarray(jax.device_get(xw))
+            Kw = K.copy()
+            Kw.data = Kw.data * (1.0 + 1e-6 * (reps + 1))
+            wrel = float(np.linalg.norm(Kw @ xw - b) /
+                         np.linalg.norm(b))
+            warm = {"warm_step_s": round(warm_s, 5),
+                    "warm_inner_iters": int(jax.device_get(itw)),
+                    "warm_relres": wrel,
+                    "warm_ok": wrel <= relres_ok}
+            _progress(f"  warm-recompute step: {warm_s:.4f} s/step "
+                      f"(relres {wrel:.2e})")
+        except Exception as e:   # pragma: no cover - bench resilience
+            _progress(f"  warm timing failed: {e!r}")
+
+    if factor_s is not None:
+        solve_s = max(elapsed - factor_s, 1e-9)
+        # solve-phase HBM traffic model: per inner iteration one f32
+        # V-cycle apply (apply_bytes/2) + one f32 SpMV (vals+idx+vec)
+        spmv_bytes = 8.0 * K.nnz + 8.0 * K.shape[0]
+        solve_gb = max(inner_iters, 1) * (fm["apply_bytes"] / 2 +
+                                          spmv_bytes) / 1e9
+        gbps = solve_gb / solve_s
+        cost_model.update({
+            "factor_s": round(factor_s, 5),
+            "solve_s": round(solve_s, 5),
+            "solve_est_gbps": round(gbps, 1),
+            "solve_pct_hbm_roofline": round(100 * gbps / PEAK_HBM_GBPS,
+                                            1),
+        })
+        _emit_partial()
+
     if warm.get("warm_step_s"):
         result.update(warm)
         result["vs_8rank_cpu_ideal_warm"] = round(
             base_secs / 8.0 / warm["warm_step_s"], 3)
-    if extra_fields:
-        result.update(extra_fields)
-
-    # partial result (everything but parity): the line the parent falls
-    # back to if the parity solve below crashes the TPU worker
-    partial = dict(result)
-    partial["parity"] = "unavailable (TPU worker crash during f64 solve)"
-    if not partial["ok"]:
-        partial["vs_baseline"] = 0.0
-    print(json.dumps(partial), flush=True)
+        _emit_partial()
 
     # parity count cache: the f64 parity solve is deterministic for a
     # fixed matrix + config (Zero start) — a same-host rerun reuses the
@@ -656,10 +677,11 @@ def _bench_apply_modes(params, K, b, reps=400):
         fjit = jax.jit(loop)
         sync(fjit(1, r))                 # compile + warm
         t = {}
-        for nit in (1, reps + 1):
+        for nit in (1, reps + 1, 1, reps + 1):   # min-of-2: tunnel noise
             t0 = time.perf_counter()
             sync(fjit(nit, r))
-            t[nit] = time.perf_counter() - t0
+            t[nit] = min(t.get(nit, float("inf")),
+                         time.perf_counter() - t0)
         times[mode] = max((t[reps + 1] - t[1]) / reps, 1e-9)
         _progress(f"  {mode}: {times[mode] * 1e3:.3f} ms/apply")
         if mode == "structured":
@@ -845,10 +867,14 @@ CASE_ORDER = ["cavity64_Re1000", "stokes32cube_skew_L2",
               "cavity128_Re0", "stokes128_L2", "stokesB_64"]
 
 # per-case wall-clock caps (seconds): bound each child so later cases
-# always get a slot; warm-cache runs finish far below these
-CASE_CAP_S = {"cavity64_Re1000": 240, "stokes32cube_skew_L2": 400,
-              "structured_vs_generic_apply": 120, "pallas_spmv": 90,
-              "cavity128_Re0": 240, "stokes128_L2": 240,
+# always get a slot.  Calibrated against the measured r05 warm-cache
+# runs: cavity64 ~90 s, 32^3 ~380 s (setup ~240 s of it: matrix
+# assembly + 262 MB plan-cache unpickle on a 1-vCPU host), the small
+# cases 40-120 s; the early-partial emit above means a cap kill during
+# the optional secondary timings still keeps the case's primary result
+CASE_CAP_S = {"cavity64_Re1000": 240, "stokes32cube_skew_L2": 420,
+              "structured_vs_generic_apply": 100, "pallas_spmv": 80,
+              "cavity128_Re0": 200, "stokes128_L2": 200,
               "stokesB_64": 150}
 
 

@@ -707,6 +707,80 @@ def _bench_apply_modes(params, K, b, reps=400):
     }
 
 
+def _run_pallas_case():
+    # the Pallas-vs-XLA DIA SpMV decision artifact (VERDICT r2 #9 /
+    # r3 #8): one production-scale stencil, recorded speedup +
+    # parity error; the 'Use Pallas SpMV' flag default follows this
+    from jax import lax
+    from hymls_tpu.ops.spmv import DiaOperator
+    from hymls_tpu.ops.pallas_spmv import PallasDiaMatvec
+    from hymls_tpu.stencils import stokes2d
+
+    K = stokes2d(128, 128)
+    op = DiaOperator(K.tocsr(), dtype=jnp.float32)
+    bands = op.prepare(op.vals)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal(op.n), jnp.float32)
+
+    def time_loop(step, reps=400):
+        def loop(niter, y):
+            return lax.fori_loop(
+                0, niter, lambda i, z: step(z) + 1e-30 * i, y)
+
+        fjit = jax.jit(loop)
+        sync(fjit(1, x0))
+        t = {}
+        for nit in (1, reps + 1, 1, reps + 1):   # min-of-2: tunnel noise
+            t0 = time.perf_counter()
+            sync(fjit(nit, x0))
+            t[nit] = min(t.get(nit, float("inf")),
+                         time.perf_counter() - t0)
+        return max((t[reps + 1] - t[1]) / reps, 1e-9)
+
+    t_xla = time_loop(lambda x: op.matvec_prepared(bands, x))
+    if not PallasDiaMatvec.fits(op.offsets, op.n):
+        return {"error": "pallas kernel does not fit vmem",
+                "xla_us": round(t_xla * 1e6, 2)}
+    try:
+        pk = PallasDiaMatvec(op.offsets, op.n)
+        t_pal = time_loop(lambda x: pk(bands, x))
+    except Exception as e:
+        # the decision still gets RECORDED when the kernel cannot
+        # compile on this runtime (r05: the remote AOT helper fails
+        # to legalize Mosaic output — libtpu version skew; the
+        # kernel passes interpret-mode parity tests)
+        return {"value": round(t_xla * 1e6, 2), "unit": "us/spmv",
+                "vs_baseline": 1.0,
+                "baseline": {"method": "XLA shifted-slice DIA SpMV "
+                                       "(same device)",
+                             "us": round(t_xla * 1e6, 2)},
+                "n": op.n, "bands": len(op.offsets),
+                "pallas_error": f"{type(e).__name__}: {e}"[:300],
+                "decision": "keep opt-in, default OFF: kernel does "
+                            "not compile on this runtime (Mosaic/"
+                            "libtpu skew in the remote AOT helper); "
+                            "production path has a compiled-parity "
+                            "self-check + loud fallback either way "
+                            "(ops/spmv.py:_pick_pallas)"}
+    y0 = np.asarray(op.matvec_prepared(bands, x0))
+    y1 = np.asarray(pk(bands, x0))
+    err = float(np.abs(y1 - y0).max() / max(np.abs(y0).max(), 1e-30))
+    win = t_xla / t_pal
+    return {
+        "value": round(t_pal * 1e6, 2),
+        "unit": "us/spmv",
+        "vs_baseline": round(win, 3),
+        "baseline": {"method": "XLA shifted-slice DIA SpMV "
+                               "(same device)",
+                     "us": round(t_xla * 1e6, 2)},
+        "n": op.n, "bands": len(op.offsets),
+        "max_rel_err": err,
+        "decision": ("default ON (wins >=1.1x at parity)"
+                     if win >= 1.1 and err < 1e-6 else
+                     "keep opt-in (no material win)"),
+    }
+
+
 def _run_case(name):
     """Run ONE case in this process; returns its result dict."""
     if name == "cavity64_Re1000":
@@ -761,76 +835,17 @@ def _run_case(name):
         return _bench_apply_modes(params, K, b)
 
     if name == "pallas_spmv":
-        # the Pallas-vs-XLA DIA SpMV decision artifact (VERDICT r2 #9 /
-        # r3 #8): one production-scale stencil, recorded speedup +
-        # parity error; the 'Use Pallas SpMV' flag default follows this
-        from jax import lax
-        from hymls_tpu.ops.spmv import DiaOperator
-        from hymls_tpu.ops.pallas_spmv import PallasDiaMatvec
-        from hymls_tpu.stencils import stokes2d
-
-        K = stokes2d(128, 128)
-        op = DiaOperator(K.tocsr(), dtype=jnp.float32)
-        bands = op.prepare(op.vals)
-        rng = np.random.default_rng(0)
-        x0 = jnp.asarray(rng.standard_normal(op.n), jnp.float32)
-
-        def time_loop(step, reps=400):
-            def loop(niter, y):
-                return lax.fori_loop(
-                    0, niter, lambda i, z: step(z) + 1e-30 * i, y)
-
-            fjit = jax.jit(loop)
-            sync(fjit(1, x0))
-            t = {}
-            for nit in (1, reps + 1):
-                t0 = time.perf_counter()
-                sync(fjit(nit, x0))
-                t[nit] = time.perf_counter() - t0
-            return max((t[reps + 1] - t[1]) / reps, 1e-9)
-
-        t_xla = time_loop(lambda x: op.matvec_prepared(bands, x))
-        if not PallasDiaMatvec.fits(op.offsets, op.n):
-            return {"error": "pallas kernel does not fit vmem",
-                    "xla_us": round(t_xla * 1e6, 2)}
-        try:
-            pk = PallasDiaMatvec(op.offsets, op.n)
-            t_pal = time_loop(lambda x: pk(bands, x))
-        except Exception as e:
-            # the decision still gets RECORDED when the kernel cannot
-            # compile on this runtime (r05: the remote AOT helper fails
-            # to legalize Mosaic output — libtpu version skew; the
-            # kernel passes interpret-mode parity tests)
-            return {"value": round(t_xla * 1e6, 2), "unit": "us/spmv",
-                    "vs_baseline": 1.0,
-                    "baseline": {"method": "XLA shifted-slice DIA SpMV "
-                                           "(same device)",
-                                 "us": round(t_xla * 1e6, 2)},
-                    "n": op.n, "bands": len(op.offsets),
-                    "pallas_error": f"{type(e).__name__}: {e}"[:300],
-                    "decision": "keep opt-in, default OFF: kernel does "
-                                "not compile on this runtime (Mosaic/"
-                                "libtpu skew in the remote AOT helper); "
-                                "production path has a compiled-parity "
-                                "self-check + loud fallback either way "
-                                "(ops/spmv.py:_pick_pallas)"}
-        y0 = np.asarray(op.matvec_prepared(bands, x0))
-        y1 = np.asarray(pk(bands, x0))
-        err = float(np.abs(y1 - y0).max() / max(np.abs(y0).max(), 1e-30))
-        win = t_xla / t_pal
-        return {
-            "value": round(t_pal * 1e6, 2),
-            "unit": "us/spmv",
-            "vs_baseline": round(win, 3),
-            "baseline": {"method": "XLA shifted-slice DIA SpMV "
-                                   "(same device)",
-                         "us": round(t_xla * 1e6, 2)},
-            "n": op.n, "bands": len(op.offsets),
-            "max_rel_err": err,
-            "decision": ("default ON (wins >=1.1x at parity)"
-                         if win >= 1.1 and err < 1e-6 else
-                         "keep opt-in (no material win)"),
-        }
+        # the decision is deterministic per runtime: once recorded
+        # (speedup or compile failure), reuse it instead of burning
+        # ~45 s of the bench budget re-deriving it every run; delete
+        # the cache entry to force a re-measure after a runtime change
+        hit = _cache_get("pallas_decision_v1")
+        if hit is not None:
+            return dict(hit["result"], cached=True)
+        res = _run_pallas_case()
+        if "error" not in res:
+            _cache_put("pallas_decision_v1", {"result": res})
+        return res
 
     if name == "stokesB_64":
         # the B-grid flagship runs Apply Dropping=false through the

@@ -940,6 +940,40 @@ def _write_artifact(cases, t_all, device, final):
         pass
 
 
+def _tunnel_alive(timeout_s=75):
+    """Probe the remote-TPU tunnel with a tiny jit IN A SUBPROCESS (a
+    wedged tunnel hangs the calling thread unrecoverably).  The axon
+    service wedges intermittently for minutes at a time — observed
+    twice on 2026-08-21, once turning a 6/7-case run into 0/7 — and
+    recovers on its own; callers should wait, not burn case budgets."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jax.jit(lambda a:(a@a).sum())"
+            "(jnp.ones((128,128)))))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL,
+                           timeout=timeout_s)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:       # pragma: no cover - bench resilience
+        return False
+
+
+def _await_tunnel(deadline, t_all):
+    """Block until the tunnel answers or ~deadline; returns alive."""
+    while True:
+        if _tunnel_alive():
+            return True
+        left = deadline - (time.time() - t_all)
+        _progress(f"  TPU tunnel unresponsive; waiting "
+                  f"({left:.0f}s of budget left) ...")
+        if left < 150:
+            return False
+        time.sleep(20)
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--case":
         # child mode: one case, one JSON line on stdout
@@ -955,15 +989,26 @@ def main():
     # tunnel can take minutes per program); default leaves ~60s margin
     # under the driver's 900s
     budget = float(os.environ.get("BENCH_BUDGET_S", "840"))
+    # probe (and if needed wait out, up to ~6 min) the tunnel BEFORE
+    # spending any case budget: an outage at start otherwise eats
+    # every cap; if it stays dead we still attempt the first case —
+    # the per-case timeout + post-timeout wait handle the rest
+    _await_tunnel(min(budget, 500.0), time.time())
     device = str(jax.devices()[0])
     _progress(f"device {device}; budget {budget:.0f}s")
     cases = {}
     here = os.path.abspath(__file__)
 
+    tunnel_dead = False
     for name in CASE_ORDER:
         remaining = budget - (time.time() - t_all)
         if cases and remaining < 60:
             cases[name] = {"error": "bench budget exhausted"}
+            continue
+        if tunnel_dead:
+            # an earlier case found the tunnel wedged and the wait-out
+            # failed; don't burn the remaining caps on a dead service
+            cases[name] = {"error": "TPU tunnel unresponsive"}
             continue
         # each case in its own subprocess: a TPU worker crash must not
         # poison the remaining cases (observed once: 32^3 f64
@@ -1003,6 +1048,14 @@ def main():
                 cases[name]["subprocess_rc"] = "timeout"
             else:
                 cases[name] = {"error": "case subprocess timeout"}
+                # a silent timeout (no progress at all) is the wedged-
+                # tunnel signature: probe, and WAIT it out rather than
+                # feeding the remaining cases to a dead service
+                # (observed 2026-08-21: an outage turned a 6/7 run
+                # into 0/7 by consuming every cap)
+                if not _await_tunnel(budget, t_all):
+                    tunnel_dead = True
+                    cases[name]["error"] += " (TPU tunnel unresponsive)"
         except Exception as e:      # pragma: no cover - bench resilience
             cases[name] = {"error": repr(e)}
         _write_artifact(cases, t_all, device, final=False)

@@ -365,24 +365,33 @@ def _bench_newton(params, K, b, reps, target_iters=TARGET_ITERS,
         sync(r.x)                                     # compile
         baseline = baseline_h.result()  # join BEFORE timing: 1-core host
         _progress(f"  newton compiled; per-dispatch timing {reps} reps ...")
-        t0 = time.perf_counter()
+        # MIN over sync-separated dispatches, not the mean of a chained
+        # batch: a single tunnel stall inside the chain inflates the
+        # mean unboundedly (observed: 3.8 s and 27 s for the SAME
+        # program across runs); the min of individually-fenced steps is
+        # the honest device time plus one launch overhead
+        times = []
         last = None
         for i in range(reps):
             scale32 = jnp.asarray(1.0 + 1e-6 * i, jnp.float32)
+            t0 = time.perf_counter()
             r = newton_fn(vals64 * (1.0 + 1e-6 * i), vals32 * scale32,
                           dplans, extra, aplans, bj)
             last = r.x
-        sync(last)
-        per_dispatch = (time.perf_counter() - t0) / reps
+            sync(last)
+            times.append(time.perf_counter() - t0)
+        per_dispatch = min(times)
         # measure the fixed per-launch tunnel overhead with a trivial
         # dispatch and subtract it from the per-dispatch wall-clock
         tiny = jax.jit(lambda s: s + 1.0)
         z = jnp.float32(0.0)
         sync(tiny(z))
-        t0 = time.perf_counter()
+        ovh = []
         for _ in range(10):
+            t0 = time.perf_counter()
             sync(tiny(z))
-        overhead = (time.perf_counter() - t0) / 10
+            ovh.append(time.perf_counter() - t0)
+        overhead = min(ovh)
         elapsed = max(per_dispatch - overhead, 1e-9)
         _progress(f"  per-dispatch {per_dispatch:.4f}s - launch "
                   f"overhead {overhead:.4f}s -> {elapsed:.4f} s/step")

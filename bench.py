@@ -1009,8 +1009,16 @@ def main():
     here = os.path.abspath(__file__)
 
     tunnel_dead = False
-    for name in CASE_ORDER:
+    # one retry per failed case, budget permitting: the remote runtime
+    # throws transient errors (observed: FAILED_PRECONDITION on a case
+    # that passed twice before and after with identical code)
+    queue = list(CASE_ORDER)
+    retried = set()
+    while queue:
+        name = queue.pop(0)
         remaining = budget - (time.time() - t_all)
+        if cases.get(name, {}).get("error") is None and name in cases:
+            continue
         if cases and remaining < 60:
             cases[name] = {"error": "bench budget exhausted"}
             continue
@@ -1067,6 +1075,13 @@ def main():
                     cases[name]["error"] += " (TPU tunnel unresponsive)"
         except Exception as e:      # pragma: no cover - bench resilience
             cases[name] = {"error": repr(e)}
+        if "error" in cases.get(name, {}) and name not in retried \
+                and not tunnel_dead \
+                and budget - (time.time() - t_all) > 90:
+            retried.add(name)
+            _progress(f"  case {name} failed "
+                      f"({cases[name]['error'][:60]}); retrying once")
+            queue.append(name)
         _write_artifact(cases, t_all, device, final=False)
 
     _write_artifact(cases, t_all, device, final=True)
